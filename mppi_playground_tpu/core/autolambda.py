@@ -1,0 +1,192 @@
+"""On-device temperature (lambda) auto-tuning: MPO, LBPS, ESSPS.
+
+The reference tunes lambda on the *host* every control tick:
+
+* LBPS runs ``scipy.optimize.minimize_scalar(method='bounded')`` over the
+  detached cost vector (``/root/reference/src/pi_mpc/mppi.py:341-349``),
+* ESSPS evaluates two ESS brackets then ``scipy.optimize.brentq``
+  (``mppi.py:351-370``),
+* MPO takes one torch-Adam step on a ``log_temperature`` parameter
+  (``mppi.py:191-200, 387-398``).
+
+Each scipy objective evaluation softmaxes the cost vector on device and
+``.item()``s the result (``mppi.py:526-566``) — a device<->host ping-pong per
+iteration.  On TPU that round-trip dominates the solve, so everything here is
+a fixed-iteration, branchless on-device equivalent that lives inside the one
+jitted solve program:
+
+* ESSPS  -> bisection on the monotone map ``ESS(lambda)`` (``lax.fori_loop``),
+* LBPS   -> golden-section search on the LBPS objective,
+* MPO    -> one ``optax.adam`` step via ``jax.grad``.
+
+Numerical-equivalence tests against the scipy versions live in
+``tests/test_autolambda.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+
+def _logsumexp(x: jnp.ndarray) -> jnp.ndarray:
+    """Stable logsumexp over a flat vector (psum-friendly form)."""
+    m = jnp.max(x)
+    return m + jnp.log(jnp.sum(jnp.exp(x - m)))
+
+
+def ess_from_costs(costs: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Effective sample size of ``softmax(-costs/lam)``.
+
+    ESS = 1 / sum(w_i^2) = exp(2*lse(s) - lse(2*s)) with s = -costs/lam
+    (matches ``_compute_ess`` at mppi.py:526-532 without materializing w).
+    """
+    s = -costs / lam
+    return jnp.exp(2.0 * _logsumexp(s) - _logsumexp(2.0 * s))
+
+
+# ---------------------------------------------------------------------------
+# ESSPS: root-find ESS(lambda) = target on [lambda_min, lambda_max]
+# ---------------------------------------------------------------------------
+
+def essps_lambda(
+    costs: jnp.ndarray,
+    target_ess: float,
+    lambda_min: float,
+    lambda_max: float,
+    iters: int = 64,
+) -> jnp.ndarray:
+    """On-device ESSPS (mppi.py:351-370).
+
+    ESS(lambda) is monotone increasing in lambda, so a fixed-iteration
+    bisection reaches the brentq root to float32 resolution in ~50 steps.
+    Bracket handling matches the reference: clamp to the bound whose ESS
+    already satisfies the target (mppi.py:361-364).
+    """
+    dtype = costs.dtype
+    lam_min = jnp.asarray(lambda_min, dtype)
+    lam_max = jnp.asarray(lambda_max, dtype)
+    target = jnp.asarray(target_ess, dtype)
+
+    ess_at_min = ess_from_costs(costs, lam_min)
+    ess_at_max = ess_from_costs(costs, lam_max)
+
+    def bisect_body(_, ab):
+        a, b = ab
+        mid = 0.5 * (a + b)
+        below = ess_from_costs(costs, mid) < target  # root above mid
+        return jnp.where(below, mid, a), jnp.where(below, b, mid)
+
+    a, b = lax.fori_loop(0, iters, bisect_body, (lam_min, lam_max))
+    root = 0.5 * (a + b)
+
+    return jnp.where(
+        target <= ess_at_min,
+        lam_min,
+        jnp.where(target >= ess_at_max, lam_max, root),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LBPS: minimize the negated lower bound on [lambda_min, lambda_max]
+# ---------------------------------------------------------------------------
+
+def lbps_objective(
+    costs: jnp.ndarray, lam: jnp.ndarray, delta: float
+) -> jnp.ndarray:
+    """Negated LBPS lower bound (mppi.py:534-557).
+
+    J(lambda) = E_w[-cost] - range(cost) * sqrt((1-delta)/delta) / sqrt(ESS)
+    returned negated for minimization.
+    """
+    s = -costs / lam
+    w = jax.nn.softmax(s)
+    ess = 1.0 / jnp.sum(w * w)
+    expected_return = -jnp.sum(w * costs)
+    cost_range = jnp.max(costs) - jnp.min(costs)
+    penalty = cost_range * jnp.sqrt((1.0 - delta) / delta) / jnp.sqrt(ess)
+    return -(expected_return - penalty)
+
+
+def lbps_lambda(
+    costs: jnp.ndarray,
+    delta: float,
+    lambda_min: float,
+    lambda_max: float,
+    iters: int = 96,
+) -> jnp.ndarray:
+    """On-device LBPS (mppi.py:341-349) via fixed-iteration golden-section.
+
+    ``minimize_scalar(method='bounded')`` is adaptive-termination Brent;
+    golden-section on the same bounded interval converges to the same
+    minimizer for the (empirically unimodal) LBPS objective — equivalence is
+    asserted in tests/test_autolambda.py.
+    """
+    dtype = costs.dtype
+    invphi = jnp.asarray((jnp.sqrt(5.0) - 1.0) / 2.0, dtype)  # 1/phi
+    a = jnp.asarray(lambda_min, dtype)
+    b = jnp.asarray(lambda_max, dtype)
+
+    c = b - (b - a) * invphi
+    d = a + (b - a) * invphi
+    fc = lbps_objective(costs, c, delta)
+    fd = lbps_objective(costs, d, delta)
+
+    def body(_, carry):
+        a, b, c, d, fc, fd = carry
+        shrink_right = fc < fd  # minimum in [a, d]
+
+        new_a = jnp.where(shrink_right, a, c)
+        new_b = jnp.where(shrink_right, d, b)
+        new_c = new_b - (new_b - new_a) * invphi
+        new_d = new_a + (new_b - new_a) * invphi
+        # Only one endpoint is fresh per iteration, but evaluating both
+        # keeps the loop branch-free; the objective is O(K) vector math.
+        new_fc = lbps_objective(costs, new_c, delta)
+        new_fd = lbps_objective(costs, new_d, delta)
+        return new_a, new_b, new_c, new_d, new_fc, new_fd
+
+    a, b, c, d, fc, fd = lax.fori_loop(0, iters, body, (a, b, c, d, fc, fd))
+    return 0.5 * (a + b)
+
+
+# ---------------------------------------------------------------------------
+# MPO: one Adam step on log_temperature
+# ---------------------------------------------------------------------------
+
+# lr matches torch.optim.Adam([log_temperature], lr=0.2) at mppi.py:200.
+MPO_LEARNING_RATE = 0.2
+MPO_EPSILON = 0.1  # mppi.py:194
+
+
+def make_mpo_optimizer() -> optax.GradientTransformation:
+    return optax.adam(MPO_LEARNING_RATE)
+
+
+def mpo_step(
+    costs: jnp.ndarray,
+    log_temperature: jnp.ndarray,
+    opt_state,
+    optimizer: optax.GradientTransformation,
+) -> Tuple[jnp.ndarray, jnp.ndarray, object]:
+    """One MPO E-step temperature update (mppi.py:387-398).
+
+    Loss: softplus(log_t) * (eps + logsumexp(-costs / softplus(log_t))).
+    Reference quirk preserved: the loss uses softplus(log_temperature) but
+    the new lambda is read back as exp(log_temperature) (mppi.py:393,398).
+    """
+
+    def loss_fn(log_t):
+        temperature = jax.nn.softplus(log_t)
+        cost_lse = _logsumexp(-costs / temperature)
+        return temperature * (MPO_EPSILON + cost_lse)
+
+    grad = jax.grad(loss_fn)(log_temperature)
+    updates, new_opt_state = optimizer.update(grad, opt_state, log_temperature)
+    new_log_t = optax.apply_updates(log_temperature, updates)
+    new_lambda = jnp.exp(new_log_t)
+    return new_lambda, new_log_t, new_opt_state

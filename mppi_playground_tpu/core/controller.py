@@ -1,0 +1,143 @@
+"""Stateful ``MPPI`` controller — the reference-compatible front door.
+
+Behavioral reference: the public class ``MPPI``
+(``/root/reference/src/pi_mpc/mppi.py:16-524``).  A user of the reference
+constructs ``MPPI(horizon=..., dynamics=..., cost_func=..., ...)`` and calls
+``forward(state)`` / ``reset()`` / ``get_top_samples(n)`` /
+``get_samples_from_posterior(...)``; this wrapper exposes the same surface
+(same parameter names and defaults) over the pure functional core in
+``core/solver.py``, holding the :class:`MPPIState` pytree across ticks.
+
+The functional API (``make_solver``) remains the recommended interface for
+jit-composition, sharding and checkpointing; this class exists for parity
+and ergonomic migration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from mppi_playground_tpu.core import diagnostics
+from mppi_playground_tpu.core.config import MPPIConfig
+from mppi_playground_tpu.core.solver import Dynamics, CostFn, SolveAux, make_solver
+
+
+class MPPI:
+    """Drop-in style MPPI controller (constructor mirrors mppi.py:24-88)."""
+
+    def __init__(
+        self,
+        horizon: int,
+        num_samples: int,
+        dim_state: int,
+        dim_control: int,
+        dynamics: Dynamics,
+        cost_func: CostFn,
+        u_min,
+        u_max,
+        sigmas,
+        lambda_: Union[float, str],
+        lbps_delta: float = 0.01,
+        essps_target_ess: Optional[float] = None,
+        lambda_min: float = 0.01,
+        lambda_max: float = 10.0,
+        exploration: float = 0.0,
+        use_sg_filter: bool = False,
+        sg_window_size: int = 5,
+        sg_poly_order: int = 3,
+        dtype=jnp.float32,
+        seed: int = 42,
+        store_rollouts: bool = True,
+        kernel_backend: str = "auto",
+    ) -> None:
+        self.config = MPPIConfig(
+            horizon=horizon,
+            num_samples=num_samples,
+            dim_state=dim_state,
+            dim_control=dim_control,
+            u_min=tuple(float(v) for v in jnp.asarray(u_min).tolist()),
+            u_max=tuple(float(v) for v in jnp.asarray(u_max).tolist()),
+            sigmas=tuple(float(v) for v in jnp.asarray(sigmas).tolist()),
+            lambda_=lambda_,
+            lbps_delta=lbps_delta,
+            essps_target_ess=essps_target_ess,
+            lambda_min=lambda_min,
+            lambda_max=lambda_max,
+            exploration=exploration,
+            use_sg_filter=use_sg_filter,
+            sg_window_size=sg_window_size,
+            sg_poly_order=sg_poly_order,
+            dtype=dtype,
+            seed=seed,
+            store_rollouts=store_rollouts,
+            kernel_backend=kernel_backend,
+        )
+        self._solver = make_solver(self.config, dynamics, cost_func)
+        self._state = self._solver.init()
+        self._last_aux: Optional[SolveAux] = None
+        self._diag_key = jax.random.PRNGKey(seed + 1)
+
+    # ------------------------------------------------------------------
+    @property
+    def solver_state(self):
+        """The explicit warm-start pytree (checkpointable, shardable)."""
+        return self._state
+
+    @solver_state.setter
+    def solver_state(self, value):
+        self._state = value
+
+    def reset(self) -> None:
+        """Zero the warm start (mppi.py:212-221); the PRNG key advances."""
+        key = self._state.key
+        self._state = self._solver.init(key=key)
+
+    def forward(
+        self,
+        state,
+        info: Optional[Dict[str, Any]] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One solve (mppi.py:223-460) -> ``(action_seq, state_seq)``."""
+        state = jnp.asarray(state, self.config.dtype)
+        assert state.shape == (self.config.dim_state,)
+        result = self._solver.solve(self._state, state, info=info, noise=noise)
+        self._state = result.state
+        self._last_aux = result.aux
+        return result.action_seq, result.state_seq
+
+    __call__ = forward
+
+    # ------------------------------------------------------------------
+    def get_top_samples(self, num_samples: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-weighted rollouts from the last solve (mppi.py:462-487)."""
+        if self._last_aux is None or self._last_aux.state_seq_batch is None:
+            raise RuntimeError(
+                "get_top_samples requires a prior forward() with "
+                "store_rollouts=True."
+            )
+        return diagnostics.top_samples(
+            self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
+        )
+
+    def get_samples_from_posterior(
+        self, optimal_solution: jnp.ndarray, state, num_samples: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior action/state samples (mppi.py:489-506)."""
+        assert num_samples <= self.config.num_samples
+        self._diag_key, sub = jax.random.split(self._diag_key)
+        sigmas = jnp.asarray(self.config.sigmas, self.config.dtype)
+        samples = diagnostics.posterior_samples(
+            sub, jnp.asarray(optimal_solution, self.config.dtype), sigmas, num_samples
+        )
+        predictive_states = self._solver.states_prediction(
+            jnp.asarray(state, self.config.dtype), samples
+        )
+        return samples, predictive_states
+
+    @property
+    def lambda_(self) -> float:
+        return float(self._state.lam)

@@ -1,0 +1,160 @@
+"""On-device auto-lambda vs host scipy/torch references.
+
+The reference tunes lambda with scipy on host (mppi.py:341-370) and torch
+Adam for MPO (mppi.py:387-398).  These tests assert our fixed-iteration
+on-device equivalents reach the same answers within tight tolerance.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import brentq, minimize_scalar
+
+from mppi_playground_tpu.core import autolambda
+
+LAMBDA_MIN, LAMBDA_MAX = 0.01, 10.0
+
+
+def _np_weights(costs, lam):
+    s = -costs / lam
+    s = s - s.max()
+    w = np.exp(s)
+    return w / w.sum()
+
+
+def _np_ess(costs, lam):
+    w = _np_weights(costs, lam)
+    return 1.0 / np.sum(w**2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ess_matches_direct_formula(seed):
+    rng = np.random.default_rng(seed)
+    costs = rng.uniform(0.0, 50.0, size=1000).astype(np.float64)
+    for lam in (0.05, 1.0, 7.3):
+        ours = float(autolambda.ess_from_costs(jnp.asarray(costs), jnp.asarray(lam)))
+        # ours runs in float32; the numpy oracle is float64
+        np.testing.assert_allclose(ours, _np_ess(costs, lam), rtol=2e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_essps_matches_brentq(seed):
+    rng = np.random.default_rng(seed)
+    costs = rng.uniform(0.0, 30.0, size=1000).astype(np.float64)
+    target = 100.0
+
+    ours = float(
+        autolambda.essps_lambda(jnp.asarray(costs), target, LAMBDA_MIN, LAMBDA_MAX)
+    )
+
+    ess_min = _np_ess(costs, LAMBDA_MIN)
+    ess_max = _np_ess(costs, LAMBDA_MAX)
+    if target <= ess_min:
+        expected = LAMBDA_MIN
+    elif target >= ess_max:
+        expected = LAMBDA_MAX
+    else:
+        expected = brentq(
+            lambda lam: _np_ess(costs, lam) - target, LAMBDA_MIN, LAMBDA_MAX
+        )
+    np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_essps_bracket_clamps():
+    # Nearly flat costs -> ESS is always ~K -> clamp to lambda_min.
+    costs = jnp.zeros(512) + jnp.arange(512) * 1e-9
+    lam = float(autolambda.essps_lambda(costs, 51.2, LAMBDA_MIN, LAMBDA_MAX))
+    assert np.isclose(lam, LAMBDA_MIN, rtol=1e-6)
+    # One dominant sample at any temperature -> ESS stays below target ->
+    # clamp to lambda_max.
+    costs = jnp.concatenate([jnp.zeros(1), jnp.full((511,), 1e6)])
+    lam = float(autolambda.essps_lambda(costs, 51.2, LAMBDA_MIN, LAMBDA_MAX))
+    assert np.isclose(lam, LAMBDA_MAX, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_lbps_matches_minimize_scalar(seed):
+    rng = np.random.default_rng(seed)
+    costs = rng.uniform(0.0, 20.0, size=800).astype(np.float64)
+    delta = 0.01
+
+    def np_objective(lam):
+        w = _np_weights(costs, lam)
+        ess = 1.0 / np.sum(w**2)
+        expected_return = -np.sum(w * costs)
+        cost_range = costs.max() - costs.min()
+        penalty = cost_range * math.sqrt((1 - delta) / delta) / math.sqrt(ess)
+        return -(expected_return - penalty)
+
+    scipy_result = minimize_scalar(
+        np_objective, bounds=(LAMBDA_MIN, LAMBDA_MAX), method="bounded"
+    )
+    ours = float(
+        autolambda.lbps_lambda(jnp.asarray(costs), delta, LAMBDA_MIN, LAMBDA_MAX)
+    )
+    # Compare achieved objective values (the minimizer location can be
+    # slightly flat around the optimum).
+    np.testing.assert_allclose(
+        np_objective(ours), scipy_result.fun, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(ours, scipy_result.x, rtol=5e-3, atol=5e-3)
+
+
+def test_mpo_step_matches_torch_adam():
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    costs = rng.uniform(0.0, 10.0, size=500).astype(np.float32)
+
+    # torch reference re-derived from mppi.py:191-200, 387-398
+    log_temp = torch.nn.Parameter(torch.log(torch.tensor([1.0])))
+    optimizer = torch.optim.Adam([log_temp], lr=0.2)
+    tc = torch.from_numpy(costs)
+    lam_torch = None
+    for _ in range(3):
+        optimizer.zero_grad()
+        temperature = torch.nn.functional.softplus(log_temp)
+        cost_logsumexp = torch.logsumexp(-tc / temperature, dim=0)
+        loss = temperature * (0.1 + torch.mean(cost_logsumexp))
+        loss.backward()
+        optimizer.step()
+        lam_torch = torch.exp(log_temp).item()
+
+    optimizer_j = autolambda.make_mpo_optimizer()
+    log_t = jnp.log(jnp.asarray(1.0))
+    opt_state = optimizer_j.init(log_t)
+    lam_jax = None
+    for _ in range(3):
+        lam_jax, log_t, opt_state = autolambda.mpo_step(
+            jnp.asarray(costs), log_t, opt_state, optimizer_j
+        )
+
+    np.testing.assert_allclose(float(lam_jax), lam_torch, rtol=1e-4)
+
+
+def test_autolambda_inside_solver_updates_state():
+    from mppi_playground_tpu import MPPIConfig, make_solver
+    from mppi_playground_tpu.models import integrator
+
+    for mode in ("ESSPS", "LBPS", "MPO"):
+        config = MPPIConfig(
+            horizon=5,
+            num_samples=128,
+            dim_state=2,
+            dim_control=2,
+            u_min=integrator.U_MIN,
+            u_max=integrator.U_MAX,
+            sigmas=(0.5, 0.5),
+            lambda_=mode,
+        )
+        solver = make_solver(config, integrator.dynamics, integrator.cost)
+        result = solver.solve(solver.init(), jnp.asarray([3.0, -2.0]))
+        lam = float(result.state.lam)
+        assert np.isfinite(lam) and lam > 0.0
+        if mode != "MPO":
+            assert LAMBDA_MIN <= lam <= LAMBDA_MAX
+            # aux lam is what weighted this tick
+            assert float(result.aux.lam) == lam

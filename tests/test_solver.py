@@ -1,0 +1,181 @@
+"""Core solver behavior tests (integrator + pendulum tasks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mppi_playground_tpu import MPPI, MPPIConfig, make_solver
+from mppi_playground_tpu.models import integrator, pendulum
+from mppi_playground_tpu.utils.angles import angle_normalize
+
+
+def _integrator_config(**overrides):
+    base = dict(
+        horizon=10,
+        num_samples=256,
+        dim_state=2,
+        dim_control=2,
+        u_min=integrator.U_MIN,
+        u_max=integrator.U_MAX,
+        sigmas=(0.5, 0.5),
+        lambda_=1.0,
+    )
+    base.update(overrides)
+    return MPPIConfig(**base)
+
+
+def test_solve_shapes_and_dtypes():
+    config = _integrator_config()
+    solver = make_solver(config, integrator.dynamics, integrator.cost)
+    state = solver.init()
+    result = solver.solve(state, jnp.zeros(2))
+    assert result.action_seq.shape == (10, 2)
+    assert result.state_seq.shape == (11, 2)
+    assert result.aux.costs.shape == (256,)
+    assert result.aux.weights.shape == (256,)
+    assert result.aux.state_seq_batch.shape == (256, 11, 2)
+    assert result.action_seq.dtype == jnp.float32
+    np.testing.assert_allclose(float(jnp.sum(result.aux.weights)), 1.0, rtol=1e-5)
+
+
+def test_solve_deterministic_given_state():
+    config = _integrator_config()
+    solver = make_solver(config, integrator.dynamics, integrator.cost, donate_state=False)
+    state = solver.init(seed=0)
+    r1 = solver.solve(state, jnp.zeros(2))
+    r2 = solver.solve(state, jnp.zeros(2))
+    np.testing.assert_array_equal(np.asarray(r1.action_seq), np.asarray(r2.action_seq))
+    # consecutive solves advance the key -> different noise
+    r3 = solver.solve(r1.state, jnp.zeros(2))
+    assert not np.allclose(np.asarray(r1.action_seq), np.asarray(r3.action_seq))
+
+
+def test_noise_injection_seam():
+    """Externally supplied noise makes the solve fully deterministic."""
+    config = _integrator_config()
+    solver = make_solver(config, integrator.dynamics, integrator.cost, donate_state=False)
+    noise = np.random.default_rng(0).normal(size=(256, 10, 2)).astype(np.float32) * 0.5
+    s_a = solver.init(seed=1)
+    s_b = solver.init(seed=2)
+    r_a = solver.solve(s_a, jnp.zeros(2), noise=jnp.asarray(noise))
+    r_b = solver.solve(s_b, jnp.zeros(2), noise=jnp.asarray(noise))
+    np.testing.assert_array_equal(np.asarray(r_a.action_seq), np.asarray(r_b.action_seq))
+
+
+def test_integrator_reaches_goal():
+    # MPPI keeps exploring at the equilibrium (the sampled average follows
+    # the injected noise once every rollout costs the same), so the robust
+    # closed-loop property is *first passage* into a goal ball.
+    config = _integrator_config()
+    solver = make_solver(config, integrator.dynamics, integrator.cost)
+    state = solver.init()
+    x = jnp.zeros(2)
+    best = np.inf
+    for _ in range(30):
+        result = solver.solve(state, x)
+        state = result.state
+        x = integrator.dynamics(x[None], result.action_seq[None, 0])[0]
+        best = min(best, float(jnp.linalg.norm(x - jnp.asarray([1.0, 1.0]))))
+    assert best < 0.2, f"never reached goal ball, best distance {best}"
+
+
+def test_actions_respect_bounds():
+    config = _integrator_config(sigmas=(5.0, 5.0))
+    solver = make_solver(config, integrator.dynamics, integrator.cost)
+    result = solver.solve(solver.init(), jnp.zeros(2))
+    assert float(jnp.max(result.action_seq)) <= 1.0 + 1e-6
+    assert float(jnp.min(result.action_seq)) >= -1.0 - 1e-6
+
+
+def test_exploration_split():
+    """With exploration=1.0 every sample is pure noise (mppi.py:266-270)."""
+    config = _integrator_config(exploration=1.0)
+    solver = make_solver(config, integrator.dynamics, integrator.cost, donate_state=False)
+    state = solver.init()
+    # Warm start with a huge previous plan; pure-noise sampling must ignore it.
+    state = state.__class__(
+        key=state.key,
+        previous_action_seq=jnp.full((10, 2), 100.0),
+        sg_history=state.sg_history,
+        lam=state.lam,
+        mpo_log_temperature=state.mpo_log_temperature,
+        mpo_opt_state=state.mpo_opt_state,
+    )
+    result = solver.solve(state, jnp.zeros(2))
+    # noise ~ N(0, 0.5), clipped to [-1, 1]: the weighted average cannot be
+    # anywhere near the (clipped) warm start of 1.0 in every coordinate.
+    assert float(jnp.max(jnp.abs(result.action_seq))) < 1.0
+
+
+def test_pendulum_swingup_closed_loop():
+    config = MPPIConfig(
+        horizon=15,
+        num_samples=1000,
+        dim_state=2,
+        dim_control=1,
+        u_min=pendulum.U_MIN,
+        u_max=pendulum.U_MAX,
+        sigmas=(1.0,),
+        lambda_="ESSPS",
+    )
+    solver = make_solver(config, pendulum.dynamics, pendulum.cost)
+    state = solver.init()
+    x = jnp.asarray([jnp.pi, 0.0])  # hanging down
+    for _ in range(120):
+        result = solver.solve(state, x)
+        state = result.state
+        x = pendulum.dynamics(x[None], result.action_seq[None, 0])[0]
+    theta = float(angle_normalize(x[0]))
+    assert abs(theta) < 0.3, f"pendulum did not swing up, theta={theta}"
+
+
+def test_controller_class_api():
+    controller = MPPI(
+        horizon=10,
+        num_samples=256,
+        dim_state=2,
+        dim_control=2,
+        dynamics=integrator.dynamics,
+        cost_func=integrator.cost,
+        u_min=jnp.asarray(integrator.U_MIN),
+        u_max=jnp.asarray(integrator.U_MAX),
+        sigmas=jnp.asarray([0.5, 0.5]),
+        lambda_=1.0,
+    )
+    action_seq, state_seq = controller(jnp.zeros(2))
+    assert action_seq.shape == (10, 2)
+    assert state_seq.shape == (11, 2)
+
+    top, weights = controller.get_top_samples(32)
+    assert top.shape == (32, 11, 2)
+    assert bool(jnp.all(weights[:-1] >= weights[1:]))  # sorted descending
+
+    samples, states = controller.get_samples_from_posterior(
+        action_seq, jnp.zeros(2), 16
+    )
+    assert samples.shape == (16, 10, 2)
+    assert states.shape == (16, 11, 2)
+
+    controller.reset()
+    np.testing.assert_array_equal(
+        np.asarray(controller.solver_state.previous_action_seq), np.zeros((10, 2))
+    )
+
+
+def test_store_rollouts_false():
+    config = _integrator_config(store_rollouts=False)
+    solver = make_solver(config, integrator.dynamics, integrator.cost)
+    result = solver.solve(solver.init(), jnp.zeros(2))
+    assert result.aux.state_seq_batch is None
+    assert result.action_seq.shape == (10, 2)
+
+
+def test_invalid_lambda_rejected():
+    with pytest.raises(ValueError):
+        _integrator_config(lambda_="NOPE")
+
+
+def test_sg_filter_config_validation():
+    with pytest.raises(ValueError):
+        _integrator_config(use_sg_filter=True, sg_window_size=4)
