@@ -1,0 +1,81 @@
+"""Pendulum swing-up example.
+
+Behavioral reference: ``/root/reference/example/pendulum.py`` — gymnasium
+Pendulum-v1 driven by MPPI at horizon 15, 1000 samples, sigma 1.0,
+lambda = ESSPS; reads the true ``env.unwrapped.state``; prints the average
+solve time.  Falls back to the internal dynamics as simulator when
+gymnasium is unavailable.
+"""
+
+import argparse
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from mppi_playground_tpu import MPPI
+from mppi_playground_tpu.models import pendulum
+from mppi_playground_tpu.utils.angles import angle_normalize
+
+
+def main(save_mode: bool = False, steps: int = 200, use_gym: bool = True):
+    env = None
+    if use_gym:
+        try:
+            import gymnasium
+
+            if save_mode:
+                env = gymnasium.make("Pendulum-v1", render_mode="rgb_array")
+                env = gymnasium.wrappers.RecordVideo(env=env, video_folder="video")
+            else:
+                env = gymnasium.make("Pendulum-v1", render_mode="human")
+            env.reset(seed=42)
+        except Exception as exc:  # pragma: no cover - display/env issues
+            print(f"gymnasium unavailable ({exc}); using internal simulator")
+            env = None
+
+    solver = MPPI(
+        horizon=15,
+        num_samples=1000,
+        dim_state=2,
+        dim_control=1,
+        dynamics=pendulum.dynamics,
+        cost_func=pendulum.cost,
+        u_min=jnp.asarray([-2.0]),
+        u_max=jnp.asarray([2.0]),
+        sigmas=jnp.asarray([1.0]),
+        lambda_="ESSPS",
+    )
+
+    state = np.array([np.pi, 0.0]) if env is None else env.unwrapped.state.copy()
+    average_time = 0.0
+    for i in range(steps):
+        start = time.time()
+        action_seq, state_seq = solver.forward(state=jnp.asarray(state, jnp.float32))
+        elapsed = time.time() - start
+        average_time = i / (i + 1) * average_time + elapsed / (i + 1)
+
+        action = np.asarray(action_seq)[0]
+        if env is not None:
+            env.step(action)
+            env.render()
+            state = env.unwrapped.state.copy()
+        else:
+            state = np.asarray(
+                pendulum.dynamics(jnp.asarray(state, jnp.float32)[None],
+                                  jnp.asarray(action)[None])
+            )[0]
+
+    print(f"average solve time: {average_time * 1000}  [ms]")
+    print(f"final theta: {float(angle_normalize(jnp.asarray(state[0]))):.4f}")
+    if env is not None:
+        env.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--save-mode", action="store_true")
+    parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--no-gym", action="store_true")
+    args = parser.parse_args()
+    main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym)

@@ -1,0 +1,72 @@
+"""Racing example: MPCC contouring control on the circuit.
+
+Behavioral reference: ``/root/reference/example/racing.py`` — the
+``racing_controller`` (horizon 25, 4000 samples, sigma [0.5, 0.1],
+lambda=1.0, MPCC cost) in a closed loop against ``RacingEnv`` with
+reference-trajectory, top-sample and collision rendering.
+
+Unlike the reference, the entire control tick (nearest-index search +
+reference generation + solve) is one jitted program on device — see
+``mppi_playground_tpu/envs/racing_controller.py``.
+"""
+
+import argparse
+import time
+
+from mppi_playground_tpu.envs import RacingController, RacingEnv
+
+
+def main(
+    save_mode: bool = False,
+    max_steps: int = 500,
+    render: bool = True,
+    debug: bool = False,
+):
+    env = RacingEnv()
+    controller = RacingController(env)
+
+    state = env.reset()
+    solve_times = []
+    for i in range(max_steps):
+        start = time.time()
+        action_seq, state_seq = controller.update(state)
+        solve_times.append(time.time() - start)
+        if debug:
+            print(f"solve time: {round(solve_times[-1] * 1000, 2)}  [ms]")
+
+        state, is_goal_reached = env.step(action_seq[0])
+        is_collisions = env.collision_check(state=state_seq[None])
+        top_samples, top_weights = controller.get_top_samples(num_samples=300)
+
+        if render:
+            env.render(
+                action=action_seq[0],
+                predicted_trajectory=state_seq,
+                is_collisions=is_collisions,
+                top_samples=(top_samples, top_weights),
+                reference_trajectory=controller.reference_path,
+                mode="rgb_array" if save_mode else "human",
+            )
+        if is_goal_reached:
+            print("Goal Reached!")
+            break
+
+    if solve_times:
+        avg = sum(solve_times[1:]) / max(len(solve_times) - 1, 1)
+        print(f"average solve time: {avg * 1000:.3f} ms")
+    env.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--save-mode", action="store_true")
+    parser.add_argument("--max-steps", type=int, default=500)
+    parser.add_argument("--no-render", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args()
+    main(
+        save_mode=args.save_mode,
+        max_steps=args.max_steps,
+        render=not args.no_render,
+        debug=args.debug,
+    )

@@ -1,0 +1,120 @@
+"""Racing contouring controller: reference generation + solve in ONE jit.
+
+Behavioral reference: class ``racing_controller``
+(``/root/reference/example/racing.py:16-218``): MPPI at horizon 25 with
+4000 samples, sigma [0.5, 0.1], lambda 1.0 over the MPCC cost, preceded by
+reference-trajectory generation each tick.
+
+The reference's tick is host-bound: nearest-index search on CPU scalars,
+an ``xref`` assembled row-by-row in Python, then the solve (racing.py:
+161-218).  Here the whole control tick — argmin path search, reference
+gather, sampling, fused rollout/cost, weighting, warm-start update — is a
+single jitted XLA program with no host round-trips (SURVEY.md §7 hard
+parts #4/#5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mppi_playground_tpu.core import diagnostics
+from mppi_playground_tpu.core.config import MPPIConfig
+from mppi_playground_tpu.core.solver import make_solver
+from mppi_playground_tpu.models.racing_mpcc import calc_ref_trajectory, make_mpcc_cost
+
+
+class RacingController:
+    """One-jit-per-tick MPCC racing controller (racing.py:16-101)."""
+
+    def __init__(
+        self,
+        env,
+        horizon: int = 25,
+        num_samples: int = 4000,
+        sigmas: Tuple[float, float] = (0.5, 0.1),
+        lambda_=1.0,
+        lookahead_distance: float = 3.0,
+        reference_path_interval: float = 0.85,
+        dtype=jnp.float32,
+        seed: int = 42,
+        store_rollouts: bool = True,
+        kernel_backend: str = "auto",
+    ) -> None:
+        self.env = env
+        self.config = MPPIConfig(
+            horizon=horizon,
+            num_samples=num_samples,
+            dim_state=4,
+            dim_control=2,
+            u_min=tuple(float(v) for v in env.u_min.tolist()),
+            u_max=tuple(float(v) for v in env.u_max.tolist()),
+            sigmas=tuple(float(v) for v in sigmas),
+            lambda_=lambda_,
+            dtype=dtype,
+            seed=seed,
+            store_rollouts=store_rollouts,
+            kernel_backend=kernel_backend,
+        )
+        cost_fn = make_mpcc_cost(
+            env.obstacle_map.device_map, env.lane_map.device_map
+        )
+        # inner solver stays unjitted; the full tick below is the jit unit
+        self._solver = make_solver(self.config, env.dynamics, cost_fn, jit=False)
+        path = env.racing_center_path
+        v_max = float(env.V_MAX)
+        dl = float(env.dl)
+
+        def tick(solver_state, cind, x, noise=None):
+            xref, new_cind = calc_ref_trajectory(
+                x,
+                path,
+                cind,
+                horizon,
+                DL=dl,
+                lookahead_distance=lookahead_distance,
+                reference_path_interval=reference_path_interval,
+                v_max=v_max,
+            )
+            result = self._solver.solve(
+                solver_state, x, info={"reference_path": xref}, noise=noise
+            )
+            return result, new_cind, xref
+
+        self._tick = jax.jit(tick, donate_argnums=(0,))
+
+        self.solver_state = self._solver.init()
+        self.current_path_index = jnp.asarray(0, jnp.int32)
+        self.reference_path: Optional[jnp.ndarray] = None
+        self._last_aux = None
+
+    # ------------------------------------------------------------------
+    def reset(self) -> None:
+        key = self.solver_state.key
+        self.solver_state = self._solver.init(key=key)
+        self.current_path_index = jnp.asarray(0, jnp.int32)
+        self.reference_path = None
+        self._last_aux = None
+
+    def update(
+        self, state: jnp.ndarray, noise: Optional[jnp.ndarray] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One control tick (racing.py:60-101) -> (action_seq, state_seq)."""
+        result, self.current_path_index, self.reference_path = self._tick(
+            self.solver_state, self.current_path_index,
+            jnp.asarray(state, self.config.dtype), noise,
+        )
+        self.solver_state = result.state
+        self._last_aux = result.aux
+        return result.action_seq, result.state_seq
+
+    def get_top_samples(
+        self, num_samples: int = 300
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self._last_aux is None or self._last_aux.state_seq_batch is None:
+            raise RuntimeError("get_top_samples requires a prior update().")
+        return diagnostics.top_samples(
+            self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
+        )

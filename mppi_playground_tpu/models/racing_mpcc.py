@@ -1,0 +1,134 @@
+"""MPCC-style racing cost + on-device reference-trajectory generation.
+
+Behavioral reference: the racing controller in
+``/root/reference/example/racing.py``:
+
+* :func:`make_mpcc_cost` — contouring/lag error vs the per-step reference
+  pose, velocity tracking, obstacle+lane map penalty, input and
+  delta-input costs with the reference weights Qc=2, Ql=3, Qv=2, Qo=1e4,
+  Qin=0.01, Qdin=0.5 (racing.py:41-46, 110-159).
+* :func:`calc_ref_trajectory` — nearest-path-index with monotone
+  progression ``max(cind, ind)`` (racing.py:193-201), lookahead 3 m at
+  0.85 m intervals, target velocity V_MAX until the horizon overruns the
+  path end, at which point the whole velocity column zeroes
+  (racing.py:206-217 — the reference's in-loop column assignment).
+
+The reference computes the nearest index **on host** with a Python
+``min(range(...))`` over ``.cpu().numpy()`` scalars — one device<->host
+round trip per control tick.  Here the search is a branchless on-device
+argmin + gather, so reference generation fuses into the same jitted program
+as the solve (SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
+from mppi_playground_tpu.models.bicycle import V_MAX
+
+# Reference cost weights (racing.py:41-46)
+QC = 2.0  # contouring error
+QL = 3.0  # lag error
+QV = 2.0  # velocity tracking
+QO = 10000.0  # obstacle / off-lane
+QIN = 0.01  # input magnitude
+QDIN = 0.5  # input rate
+
+
+def make_mpcc_cost(
+    obstacle_map: GridMapData,
+    lane_map: GridMapData,
+    qc: float = QC,
+    ql: float = QL,
+    qv: float = QV,
+    qo: float = QO,
+    qin: float = QIN,
+    qdin: float = QDIN,
+) -> Callable[[jnp.ndarray, jnp.ndarray, dict], jnp.ndarray]:
+    """Contouring-control stage cost (racing.py:110-159).
+
+    Expects ``info['reference_path']`` of shape ``[horizon+1, 4]``
+    (x, y, yaw, v_target) and the solver-provided ``info['t']`` /
+    ``info['prev_action']``.
+    """
+
+    def cost(state: jnp.ndarray, action: jnp.ndarray, info: dict) -> jnp.ndarray:
+        reference_path = info["reference_path"]
+        prev_action = info["prev_action"]
+        t = info["t"]
+        ref = jnp.take(reference_path, t, axis=0)  # [4] traced-index row
+
+        dx = state[:, 0] - ref[0]
+        dy = state[:, 1] - ref[1]
+        sin_yaw = jnp.sin(ref[2])
+        cos_yaw = jnp.cos(ref[2])
+        ec = sin_yaw * dx - cos_yaw * dy  # contouring error
+        el = -cos_yaw * dx - sin_yaw * dy  # lag error
+        path_cost = qc * ec**2 + ql * el**2
+
+        velocity_cost = qv * (state[:, 3] - ref[3]) ** 2
+
+        pos = state[:, :2]
+        map_cost = grid_cost(obstacle_map, pos) + grid_cost(lane_map, pos)
+        obstacle_cost = qo * map_cost
+
+        input_cost = qin * jnp.sum(action**2, axis=1)
+        input_cost = input_cost + qdin * jnp.sum((action - prev_action) ** 2, axis=1)
+
+        return path_cost + velocity_cost + obstacle_cost + input_cost
+
+    return cost
+
+
+def calc_ref_trajectory(
+    state: jnp.ndarray,
+    path: jnp.ndarray,
+    cind: jnp.ndarray,
+    horizon: int,
+    DL: float = 0.1,
+    lookahead_distance: float = 3.0,
+    reference_path_interval: float = 0.85,
+    v_max: float = V_MAX,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference trajectory for the current tick (racing.py:161-218).
+
+    Args:
+        state: ``[4]`` current vehicle state.
+        path: ``[N, 3]`` resampled center path (x, y, yaw) on device.
+        cind: scalar int32, the monotone progress index from last tick.
+        horizon: prediction horizon T (static).
+
+    Returns:
+        (xref ``[horizon+1, 4]``, new_cind scalar int32).
+    """
+    ncourse = path.shape[0]
+
+    # Nearest path index (racing.py:193-199) as an on-device argmin.
+    d2 = (path[:, 0] - state[0]) ** 2 + (path[:, 1] - state[1]) ** 2
+    nearest = jnp.argmin(d2).astype(jnp.int32)
+    ind = jnp.maximum(jnp.asarray(cind, jnp.int32), nearest)
+
+    # Lookahead offsets are static: round((lookahead + (i+1)*interval)/DL).
+    travel = lookahead_distance + reference_path_interval * (
+        jnp.arange(1, horizon + 2, dtype=jnp.float32)
+    )
+    dinds = jnp.round(travel / DL).astype(jnp.int32)
+
+    rows = ind + dinds
+    valid = rows < ncourse
+    rows = jnp.minimum(rows, ncourse - 1)
+    xref_pose = jnp.take(path, rows, axis=0)  # [horizon+1, 3]
+
+    # Reference quirk (racing.py:210-217): overruning the path end zeroes
+    # the *entire* target-velocity column, not just the overrun rows.
+    v_column = jnp.where(
+        jnp.all(valid),
+        jnp.full((horizon + 1,), v_max, path.dtype),
+        jnp.zeros((horizon + 1,), path.dtype),
+    )
+
+    xref = jnp.concatenate([xref_pose, v_column[:, None]], axis=1)
+    return xref.astype(state.dtype), ind

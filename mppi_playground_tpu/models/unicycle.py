@@ -1,0 +1,65 @@
+"""Differential-drive (unicycle) dynamics + navigation cost factories.
+
+Behavioral reference: ``Navigation2DEnv.dynamics`` / ``cost_function``
+(``/root/reference/src/envs/navigation_2d.py:218-279``): Euler unicycle at
+dt=0.1 with action clamps and map-boundary position clamps; cost =
+``||pos - goal|| + 10000 * occupancy``.
+
+Parameterized as factories returning pure closures so the environment (or a
+user) can bind goal/limits/map once and hand the closures to the solver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
+from mppi_playground_tpu.utils.angles import angle_normalize
+
+DIM_STATE = 3  # [x, y, theta]
+DIM_CONTROL = 2  # [v, omega]
+U_MIN = (0.0, -1.0)
+U_MAX = (2.0, 1.0)
+DELTA_T = 0.1
+OBSTACLE_WEIGHT = 10000.0
+
+
+def make_dynamics(
+    x_lim: Tuple[float, float],
+    y_lim: Tuple[float, float],
+    u_min: Tuple[float, float] = U_MIN,
+    u_max: Tuple[float, float] = U_MAX,
+    delta_t: float = DELTA_T,
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Unicycle Euler step with boundary clamp (navigation_2d.py:218-255)."""
+
+    def dynamics(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+        x = state[:, 0]
+        y = state[:, 1]
+        theta = angle_normalize(state[:, 2])
+        v = jnp.clip(action[:, 0], u_min[0], u_max[0])
+        omega = jnp.clip(action[:, 1], u_min[1], u_max[1])
+
+        new_x = jnp.clip(x + v * jnp.cos(theta) * delta_t, x_lim[0], x_lim[1])
+        new_y = jnp.clip(y + v * jnp.sin(theta) * delta_t, y_lim[0], y_lim[1])
+        new_theta = angle_normalize(theta + omega * delta_t)
+        return jnp.stack([new_x, new_y, new_theta], axis=1)
+
+    return dynamics
+
+
+def make_navigation_cost(
+    goal: jnp.ndarray,
+    obstacle_map: GridMapData,
+    obstacle_weight: float = OBSTACLE_WEIGHT,
+) -> Callable[[jnp.ndarray, jnp.ndarray, dict], jnp.ndarray]:
+    """Goal-distance + occupancy-penalty cost (navigation_2d.py:257-279)."""
+
+    def cost(state: jnp.ndarray, action: jnp.ndarray, info: dict) -> jnp.ndarray:
+        goal_cost = jnp.linalg.norm(state[:, :2] - goal, axis=1)
+        obstacle_cost = grid_cost(obstacle_map, state[:, :2])
+        return goal_cost + obstacle_weight * obstacle_cost
+
+    return cost

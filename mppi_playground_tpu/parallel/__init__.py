@@ -1,0 +1,23 @@
+from mppi_playground_tpu.parallel.mesh import (
+    SAMPLE_AXIS,
+    SCENARIO_AXIS,
+    initialize_distributed,
+    make_mesh,
+)
+from mppi_playground_tpu.parallel.sharded import (
+    BatchedMPPISolver,
+    ShardedMPPISolver,
+    make_batched_solver,
+    make_sharded_solver,
+)
+
+__all__ = [
+    "SAMPLE_AXIS",
+    "SCENARIO_AXIS",
+    "BatchedMPPISolver",
+    "ShardedMPPISolver",
+    "initialize_distributed",
+    "make_batched_solver",
+    "make_mesh",
+    "make_sharded_solver",
+]

@@ -1,0 +1,75 @@
+"""Device-mesh construction and multi-host initialization.
+
+The reference is strictly single-process, single-GPU (SURVEY.md §2's
+parallelism checklist: no torch.distributed anywhere); the only parallel
+axis is the sample batch K on one device.  This module provides the
+TPU-native scaling substrate the reference lacks:
+
+* a named :class:`jax.sharding.Mesh` over the local (or pod-wide) devices
+  with axes ``('scenario', 'samples')`` — scenarios are embarrassingly
+  parallel control problems (data parallel), samples shard the K rollouts
+  of a single solve (the softmin reduction becomes a psum over ICI),
+* ``jax.distributed`` bootstrap for multi-host pods over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenario"
+SAMPLE_AXIS = "samples"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (no-op on a single process).
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    other platforms pass them explicitly.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # single-host: nothing to do
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(
+    mesh_shape: Optional[Tuple[int, int]] = None,
+    axis_names: Sequence[str] = (SCENARIO_AXIS, SAMPLE_AXIS),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a 2D ``(scenario, samples)`` mesh over the available devices.
+
+    Defaults put every device on the sample axis (the dominant axis for a
+    single control problem); pass ``mesh_shape=(s, k)`` to split.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (1, n)
+    if int(np.prod(mesh_shape)) != n:
+        raise ValueError(f"mesh_shape {mesh_shape} does not match {n} devices")
+    device_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(device_array, axis_names=tuple(axis_names))
+
+
+def sample_sharding(mesh: Mesh, ndim: int, axis: str = SAMPLE_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (sample) axis of an ``ndim`` array."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,157 @@
+"""Sample-axis-sharded and scenario-batched MPPI solvers.
+
+New TPU-native capability (the reference is single-device; SURVEY.md §2).
+Two composable parallel axes:
+
+* **samples** — the K perturbation rollouts of one solve are sharded over
+  the mesh.  Everything per-sample (noise gen, rollout, costs) is
+  embarrassingly parallel; the only cross-device traffic per tick is the
+  softmin normalizer and the ``[T, m]`` weighted-average numerator (plus
+  the scalar ESS/logsumexp terms of auto-lambda) — O(T*m) bytes over ICI
+  (mppi.py:374-385 are the only global reductions in the algorithm).
+* **scenario** — independent control problems (different initial states /
+  tasks) vmapped and sharded data-parallel.
+
+Implementation is GSPMD-first: noise is generated inside the jitted tick
+with an explicit ``with_sharding_constraint`` on the sample axis, and XLA
+propagates the sharding through the scan and inserts the psum-style
+collectives at the reductions.  JAX's partitionable threefry RNG guarantees
+the *same* noise values regardless of mesh shape, so a sharded solve equals
+the single-device solve up to float reduction order — asserted in
+tests/test_sharding.py (SURVEY.md §7 hard part #6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mppi_playground_tpu.core.config import MPPIConfig, MPPIState
+from mppi_playground_tpu.core.solver import (
+    CostFn,
+    Dynamics,
+    MPPISolver,
+    SolveResult,
+    make_solver,
+)
+from mppi_playground_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedMPPISolver:
+    """Solver whose K sample rollouts are sharded across a device mesh."""
+
+    config: MPPIConfig
+    mesh: Mesh
+    init: Callable[..., MPPIState]
+    solve: Callable[..., SolveResult]
+
+
+def make_sharded_solver(
+    config: MPPIConfig,
+    dynamics: Dynamics,
+    cost_fn: CostFn,
+    mesh: Mesh,
+    sample_axis: str = SAMPLE_AXIS,
+    jit: bool = True,
+) -> ShardedMPPISolver:
+    """Shard the sample axis of one MPPI solve over ``mesh``.
+
+    The returned ``solve(state, x0, info=None)`` matches the single-device
+    signature; results are replicated.
+    """
+    base = make_solver(config, dynamics, cost_fn, jit=False)
+    dtype = config.dtype
+    sigmas = jnp.asarray(config.sigmas, dtype)
+    noise_sharding = NamedSharding(mesh, P(sample_axis, None, None))
+
+    def solve(
+        state: MPPIState,
+        x0: jnp.ndarray,
+        info: Optional[Dict[str, Any]] = None,
+    ) -> SolveResult:
+        # Same key-split discipline as the unsharded solve; the
+        # partitionable threefry generator produces identical values for
+        # any mesh, each device materializing only its shard.
+        _, noise_key = jax.random.split(state.key)
+        noise = (
+            jax.random.normal(
+                noise_key,
+                (config.num_samples, config.horizon, config.dim_control),
+                dtype,
+            )
+            * sigmas
+        )
+        noise = jax.lax.with_sharding_constraint(noise, noise_sharding)
+        return base.solve(state, x0, info=info, noise=noise)
+
+    if jit:
+        solve = jax.jit(solve, donate_argnums=(0,))
+
+    return ShardedMPPISolver(config=config, mesh=mesh, init=base.init, solve=solve)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchedMPPISolver:
+    """Scenario-batched (vmapped) solver, shardable over the scenario axis."""
+
+    config: MPPIConfig
+    mesh: Mesh
+    init_batch: Callable[..., MPPIState]
+    solve_batch: Callable[..., SolveResult]
+
+
+def make_batched_solver(
+    config: MPPIConfig,
+    dynamics: Dynamics,
+    cost_fn: CostFn,
+    mesh: Mesh,
+    batch_size: int,
+    scenario_axis: str = SCENARIO_AXIS,
+    sample_axis: str = SAMPLE_AXIS,
+    jit: bool = True,
+) -> BatchedMPPISolver:
+    """Solve ``batch_size`` independent control problems per tick.
+
+    The scenario axis is data-parallel over the mesh; within each scenario
+    the K samples shard over the sample axis.  ``solve_batch(states, x0s)``
+    takes a batched :class:`MPPIState` pytree and ``[B, dim_state]``.
+    """
+    base = make_solver(config, dynamics, cost_fn, jit=False)
+    dtype = config.dtype
+    sigmas = jnp.asarray(config.sigmas, dtype)
+    noise_sharding = NamedSharding(
+        mesh, P(scenario_axis, sample_axis, None, None)
+    )
+
+    def init_batch(seed: Optional[int] = None) -> MPPIState:
+        key = jax.random.PRNGKey(config.seed if seed is None else seed)
+        keys = jax.random.split(key, batch_size)
+        return jax.vmap(lambda k: base.init(key=k))(keys)
+
+    def solve_one(state, x0, noise):
+        return base.solve(state, x0, noise=noise)
+
+    def solve_batch(states: MPPIState, x0s: jnp.ndarray) -> SolveResult:
+        # second output of the per-scenario split == the noise key the
+        # unsharded solve would draw (core/solver.py solve())
+        noise_keys = jax.vmap(jax.random.split)(states.key)[:, 1]
+        noise = jax.vmap(
+            lambda k: jax.random.normal(
+                k, (config.num_samples, config.horizon, config.dim_control), dtype
+            )
+            * sigmas
+        )(noise_keys)
+        noise = jax.lax.with_sharding_constraint(noise, noise_sharding)
+        return jax.vmap(solve_one)(states, x0s, noise)
+
+    if jit:
+        solve_batch = jax.jit(solve_batch, donate_argnums=(0,))
+
+    return BatchedMPPISolver(
+        config=config, mesh=mesh, init_batch=init_batch, solve_batch=solve_batch
+    )

@@ -1,0 +1,187 @@
+"""Environment + closed-loop integration tests (CPU-sized workloads)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mppi_playground_tpu import MPPIConfig, make_solver
+from mppi_playground_tpu.envs import (
+    GoalInDangerZoneEnv,
+    Navigation2DEnv,
+    RacingController,
+    RacingEnv,
+)
+from mppi_playground_tpu.models import danger_zone as dz_model
+
+
+@pytest.fixture(scope="module")
+def nav_env():
+    return Navigation2DEnv()
+
+
+@pytest.fixture(scope="module")
+def racing_env():
+    return RacingEnv()
+
+
+# ---------------------------------------------------------------------------
+# Navigation2DEnv
+# ---------------------------------------------------------------------------
+
+def test_nav_env_reset_and_step(nav_env):
+    state = nav_env.reset()
+    assert state.shape == (3,)
+    np.testing.assert_allclose(np.asarray(state[:2]), [-9.0, -9.0])
+    new_state, reached = nav_env.step(jnp.asarray([1.0, 0.0]))
+    assert not reached
+    # moved forward along its heading (toward the goal, i.e. up-right)
+    assert float(new_state[0]) > -9.0 and float(new_state[1]) > -9.0
+
+
+def test_nav_env_collision_check_shape(nav_env):
+    traj = jnp.zeros((1, 31, 3))
+    out = nav_env.collision_check(traj)
+    assert out.shape == (1, 31)
+
+
+def test_nav_env_closed_loop_progress(nav_env):
+    """Small-K solver makes progress toward the goal without collisions."""
+    config = MPPIConfig(
+        horizon=20,
+        num_samples=512,
+        dim_state=3,
+        dim_control=2,
+        u_min=tuple(nav_env.u_min.tolist()),
+        u_max=tuple(nav_env.u_max.tolist()),
+        sigmas=(0.5, 0.5),
+        lambda_="ESSPS",
+    )
+    solver = make_solver(config, nav_env.dynamics, nav_env.cost_function)
+    solver_state = solver.init()
+    x = nav_env.reset()
+    goal = jnp.asarray([9.0, 9.0])
+    d0 = float(jnp.linalg.norm(x[:2] - goal))
+    collided = False
+    for _ in range(40):
+        result = solver.solve(solver_state, x)
+        solver_state = result.state
+        x, reached = nav_env.step(result.action_seq[0])
+        occ = nav_env.collision_check(x[None, None, :])
+        collided = collided or bool(occ[0, 0] > 0)
+        if reached:
+            break
+    d1 = float(jnp.linalg.norm(x[:2] - goal))
+    assert d1 < d0 - 3.0, f"no progress: {d0} -> {d1}"
+    assert not collided
+
+
+# ---------------------------------------------------------------------------
+# RacingEnv + controller
+# ---------------------------------------------------------------------------
+
+def test_racing_env_construction(racing_env):
+    state = racing_env.reset()
+    assert state.shape == (4,)
+    assert float(state[3]) == 0.0
+    # start on the lane corridor (drivable)
+    assert float(racing_env.lane_map.compute_cost(state[None, :2])[0]) == 0.0
+    # path resampled at ~dl
+    path = np.asarray(racing_env.racing_center_path)
+    spacing = np.linalg.norm(np.diff(path[:, :2], axis=0), axis=1)
+    assert abs(spacing.mean() - racing_env.dl) < 0.02
+
+
+def test_racing_controller_closed_loop(racing_env):
+    controller = RacingController(
+        racing_env, horizon=15, num_samples=512, seed=0
+    )
+    x = racing_env.reset()
+    start = np.asarray(x[:2])
+    path_index_history = []
+    for _ in range(30):
+        action_seq, state_seq = controller.update(x)
+        assert np.all(np.isfinite(np.asarray(action_seq)))
+        x, reached = racing_env.step(action_seq[0])
+        path_index_history.append(int(controller.current_path_index))
+        if reached:
+            break
+    # progress index is monotone (racing.py:201)
+    assert all(b >= a for a, b in zip(path_index_history, path_index_history[1:]))
+    # the car drove somewhere
+    assert float(jnp.linalg.norm(x[:2] - jnp.asarray(start))) > 1.0
+    # vehicle accelerated along the track
+    assert float(x[3]) > 0.5
+    # diagnostics path
+    top, weights = controller.get_top_samples(50)
+    assert top.shape[0] == 50 and bool(jnp.all(weights[:-1] >= weights[1:]))
+
+
+def test_racing_reference_trajectory_end_of_path(racing_env):
+    from mppi_playground_tpu.models.racing_mpcc import calc_ref_trajectory
+
+    path = racing_env.racing_center_path
+    n = path.shape[0]
+    # mid-track: full-speed reference
+    state = jnp.concatenate([path[n // 2, :2], jnp.zeros(2)])
+    xref, ind = calc_ref_trajectory(state, path, jnp.asarray(0, jnp.int32), 10)
+    assert xref.shape == (11, 4)
+    np.testing.assert_allclose(np.asarray(xref[:, 3]), 8.0)
+    assert int(ind) == n // 2
+    # near the end: velocity column zeroes entirely (racing.py:210-217)
+    state_end = jnp.concatenate([path[-3, :2], jnp.zeros(2)])
+    xref_end, _ = calc_ref_trajectory(state_end, path, jnp.asarray(0, jnp.int32), 10)
+    np.testing.assert_allclose(np.asarray(xref_end[:, 3]), 0.0)
+    np.testing.assert_allclose(np.asarray(xref_end[-1, :3]), np.asarray(path[-1]))
+
+
+# ---------------------------------------------------------------------------
+# GoalInDangerZoneEnv
+# ---------------------------------------------------------------------------
+
+def test_danger_zone_env_episode():
+    np.random.seed(0)
+    env = GoalInDangerZoneEnv(render_mode=None)
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (7,)
+    assert info["cost"] == 0.0
+    # goal inside, start outside
+    assert env._danger_zone.is_inside(env._goal)
+    assert not env._danger_zone.is_inside(env._pos)
+    # obs self-consistency: pos + vec_to_goal == goal (obs is float32)
+    np.testing.assert_allclose(obs[:2] + obs[3:5], env._goal, atol=1e-5)
+
+    obs2, reward, term, trunc, info = env.step(np.array([1.0, 0.0]))
+    assert isinstance(reward, float) and "cost" in info
+
+
+def test_danger_zone_parallel_model_consistency():
+    """Batched dynamics agree with the scalar env step."""
+    np.random.seed(1)
+    env = GoalInDangerZoneEnv(render_mode=None)
+    obs, _ = env.reset(seed=1)
+    action = np.array([0.7, -0.4], np.float32)
+    obs_batched = env.parallel_step(
+        jnp.asarray(obs, jnp.float32)[None], jnp.asarray(action)[None]
+    )[0]
+    obs_scalar, _, _, _, _ = env.step(action)
+    np.testing.assert_allclose(np.asarray(obs_batched), obs_scalar, atol=1e-5)
+
+
+def test_danger_zone_solver_avoids_zone_entry_cost():
+    np.random.seed(2)
+    env = GoalInDangerZoneEnv(render_mode=None)
+    obs, _ = env.reset(seed=2)
+    config = MPPIConfig(
+        horizon=15,
+        num_samples=256,
+        dim_state=7,
+        dim_control=2,
+        u_min=dz_model.U_MIN,
+        u_max=dz_model.U_MAX,
+        sigmas=(0.5, 0.5),
+        lambda_=1.0,
+    )
+    solver = make_solver(config, env.parallel_step, env.parallel_cost)
+    solver_state = solver.init()
+    result = solver.solve(solver_state, jnp.asarray(obs, jnp.float32))
+    assert np.all(np.isfinite(np.asarray(result.action_seq)))

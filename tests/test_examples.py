@@ -1,0 +1,60 @@
+"""Headless smoke tests of the example scripts (tiny step counts)."""
+
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import pytest
+
+
+def test_pendulum_example_runs(capsys):
+    sys.modules.pop("examples.pendulum", None)
+    from examples import pendulum as ex
+
+    ex.main(save_mode=False, steps=3, use_gym=False)
+    out = capsys.readouterr().out
+    assert "average solve time" in out
+
+
+def test_cartpole_example_runs(capsys):
+    from examples import cartpole as ex
+
+    ex.main(save_mode=False, steps=3, use_gym=False)
+    assert "average solve time" in capsys.readouterr().out
+
+
+def test_mountaincar_example_runs(capsys):
+    from examples import mountaincar as ex
+
+    ex.main(save_mode=False, steps=3, use_gym=False)
+    assert "average solve time" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_navigation_example_runs(capsys, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import navigation2d as ex
+
+    ex.main(save_mode=True, max_steps=2, render=True)
+    assert "average solve time" in capsys.readouterr().out
+    # gif written from the captured frames
+    assert (tmp_path / "video" / "navigation_2d_42.gif").exists()
+
+
+@pytest.mark.slow
+def test_racing_example_runs(capsys, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import racing as ex
+
+    ex.main(save_mode=False, max_steps=2, render=False)
+    assert "average solve time" in capsys.readouterr().out
+
+
+def test_danger_zone_example_runs(capsys):
+    from examples import goal_in_danger_zone as ex
+
+    ex.main(save_mode=False, render=False)
+    out = capsys.readouterr().out
+    assert "episodic reward" in out and "episodic cost" in out

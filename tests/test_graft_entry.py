@@ -1,0 +1,24 @@
+"""Driver entry points compile and execute."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    jitted = jax.jit(fn)
+    action_seq, state_seq, new_state, new_cind = jitted(*example_args)
+    jax.block_until_ready(action_seq)
+    assert action_seq.shape == (50, 2)
+    assert state_seq.shape == (51, 4)
+    assert np.all(np.isfinite(np.asarray(action_seq)))
+    assert int(new_cind) >= 0
+
+
+def test_dryrun_multichip_eight_devices():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,119 @@
+"""Mesh-sharded solve == single-device solve (8 virtual CPU devices).
+
+SURVEY.md §7 hard part #6: the sharded solve must be invariant to mesh
+shape.  JAX's partitionable threefry RNG produces identical noise for any
+sharding, so results agree up to float32 reduction-order differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mppi_playground_tpu import MPPIConfig, make_solver
+from mppi_playground_tpu.models import integrator, pendulum
+from mppi_playground_tpu.parallel import (
+    make_batched_solver,
+    make_mesh,
+    make_sharded_solver,
+)
+
+
+def _config(**overrides):
+    base = dict(
+        horizon=10,
+        num_samples=512,
+        dim_state=2,
+        dim_control=1,
+        u_min=pendulum.U_MIN,
+        u_max=pendulum.U_MAX,
+        sigmas=(1.0,),
+        lambda_=1.0,
+    )
+    base.update(overrides)
+    return MPPIConfig(**base)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+@pytest.mark.parametrize("lambda_", [1.0, "ESSPS"])
+def test_sharded_matches_single_device(lambda_):
+    config = _config(lambda_=lambda_)
+    single = make_solver(config, pendulum.dynamics, pendulum.cost, donate_state=False)
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_solver(config, pendulum.dynamics, pendulum.cost, mesh)
+
+    x0 = jnp.asarray([np.pi, 0.0])
+    state_a = single.init(seed=3)
+    state_b = sharded.init(seed=3)
+    for _ in range(3):
+        ra = single.solve(state_a, x0)
+        rb = sharded.solve(state_b, x0)
+        np.testing.assert_allclose(
+            np.asarray(ra.action_seq), np.asarray(rb.action_seq), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ra.aux.costs), np.asarray(rb.aux.costs), rtol=1e-5
+        )
+        state_a, state_b = ra.state, rb.state
+
+
+def test_mesh_shape_invariance():
+    """2-way and 8-way sample sharding give the same answer."""
+    config = _config()
+    x0 = jnp.asarray([np.pi, 0.0])
+    results = []
+    for n in (2, 8):
+        mesh = make_mesh(mesh_shape=(1, n), devices=jax.devices()[:n])
+        solver = make_sharded_solver(config, pendulum.dynamics, pendulum.cost, mesh)
+        r = solver.solve(solver.init(seed=5), x0)
+        results.append(np.asarray(r.action_seq))
+    np.testing.assert_allclose(results[0], results[1], atol=1e-5)
+
+
+def test_batched_scenarios_shard_and_match():
+    config = _config(
+        num_samples=256,
+        dim_state=2,
+        dim_control=2,
+        u_min=integrator.U_MIN,
+        u_max=integrator.U_MAX,
+        sigmas=(0.5, 0.5),
+    )
+    mesh = make_mesh(mesh_shape=(4, 2))
+    batched = make_batched_solver(
+        config, integrator.dynamics, integrator.cost, mesh, batch_size=4
+    )
+    states = batched.init_batch(seed=11)
+    x0s = jnp.asarray([[0.0, 0.0], [1.0, -1.0], [-2.0, 0.5], [3.0, 3.0]])
+    result = batched.solve_batch(states, x0s)
+    assert result.action_seq.shape == (4, 10, 2)
+    assert result.state_seq.shape == (4, 11, 2)
+    assert np.all(np.isfinite(np.asarray(result.action_seq)))
+
+    # each scenario equals an independent single-device solve with the
+    # same per-scenario key
+    single = make_solver(config, integrator.dynamics, integrator.cost, donate_state=False)
+    key = jax.random.PRNGKey(11)
+    keys = jax.random.split(key, 4)
+    for b in range(4):
+        state_b = single.init(key=keys[b])
+        rb = single.solve(state_b, x0s[b])
+        np.testing.assert_allclose(
+            np.asarray(result.action_seq[b]), np.asarray(rb.action_seq), atol=1e-5
+        )
+
+
+def test_sharded_solve_closed_loop_stays_finite():
+    config = _config(lambda_="ESSPS", num_samples=512)
+    mesh = make_mesh(mesh_shape=(1, 8))
+    solver = make_sharded_solver(config, pendulum.dynamics, pendulum.cost, mesh)
+    state = solver.init()
+    x = jnp.asarray([np.pi, 0.0])
+    for _ in range(5):
+        r = solver.solve(state, x)
+        state = r.state
+        x = pendulum.dynamics(x[None], r.action_seq[None, 0])[0]
+        assert np.all(np.isfinite(np.asarray(x)))
