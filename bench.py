@@ -49,7 +49,7 @@ def build():
         lambda_=1.0,
         store_rollouts=False,  # production serving config: rollouts implicit
     )
-    cost_fn = make_mpcc_cost(env.obstacle_map.device_map, env.lane_map.device_map)
+    cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
     solver = make_solver(config, env.dynamics, cost_fn, jit=False)
     path = env.racing_center_path
 

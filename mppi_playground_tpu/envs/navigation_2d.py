@@ -57,7 +57,7 @@ class Navigation2DEnv:
             y_lim=tuple(self._obstacle_map.y_lim),
         )
         self.cost_function = unicycle.make_navigation_cost(
-            goal=self._goal_pos, obstacle_map=self._obstacle_map.device_map
+            goal=self._goal_pos, obstacle_map=self.obstacle_cost_map
         )
         self._step_fn = jax.jit(
             lambda state, u: self.dynamics(state[None], u[None])[0]
@@ -81,6 +81,12 @@ class Navigation2DEnv:
     @property
     def obstacle_map(self) -> ObstacleMap:
         return self._obstacle_map
+
+    @property
+    def obstacle_cost_map(self):
+        """Fastest exact query map: analytic features when verified, else grid."""
+        fm = self._obstacle_map.feature_map
+        return fm if fm is not None else self._obstacle_map.device_map
 
     def reset(self) -> jnp.ndarray:
         """Reset robot pose and (lazily) the rendering figure."""

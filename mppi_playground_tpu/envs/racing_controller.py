@@ -58,9 +58,7 @@ class RacingController:
             store_rollouts=store_rollouts,
             kernel_backend=kernel_backend,
         )
-        cost_fn = make_mpcc_cost(
-            env.obstacle_map.device_map, env.lane_map.device_map
-        )
+        cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
         # inner solver stays unjitted; the full tick below is the jit unit
         self._solver = make_solver(self.config, env.dynamics, cost_fn, jit=False)
         path = env.racing_center_path

@@ -126,6 +126,21 @@ class RacingEnv:
     def lane_map(self) -> LaneMap:
         return self._lane_map
 
+    @property
+    def obstacle_cost_map(self):
+        """Fastest exact query representation for the cost loop.
+
+        The analytic feature map when it reproduces the grid exactly
+        (always, for reference-style generated maps), else the grid.
+        """
+        fm = self._obstacle_map.feature_map
+        return fm if fm is not None else self._obstacle_map.device_map
+
+    @property
+    def lane_cost_map(self):
+        fm = self._lane_map.feature_map
+        return fm if fm is not None else self._lane_map.device_map
+
     def reset(self) -> jnp.ndarray:
         self._robot_state = self._initial_state()
         self._rendered_frames = []

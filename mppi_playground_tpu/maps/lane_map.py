@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from scipy.ndimage import distance_transform_edt
 
 from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
+from mppi_playground_tpu.maps.feature_query import FeatureMapData, build_feature_map
 
 
 class LaneMap:
@@ -67,7 +68,11 @@ class LaneMap:
         max_distance = (lane_width / 2) / cell_size
         self._map = np.where(distance_map <= max_distance, 0, 1)
 
+        self._centerline_cells = np.unique(cells, axis=0)
+        self._max_distance = max_distance
         self._device_map: Optional[GridMapData] = None
+        self._feature_map: Optional[FeatureMapData] = None
+        self._feature_map_built = False
 
     # ------------------------------------------------------------------
     @property
@@ -79,6 +84,28 @@ class LaneMap:
                 cell_size=float(self._cell_size),
             )
         return self._device_map
+
+    @property
+    def feature_map(self) -> Optional[FeatureMapData]:
+        """Gather-free analytic corridor query (see maps/feature_query.py).
+
+        The EDT-threshold corridor equals the union of radius-``w`` disks
+        on the rasterized centerline cells; redundant cells are pruned and
+        the result is verified against the stored grid at build time.
+        """
+        if not self._feature_map_built:
+            self._feature_map = build_feature_map(
+                self._map,
+                self._cell_map_origin,
+                self._cell_size,
+                self._centerline_cells,
+                np.full(len(self._centerline_cells), self._max_distance**2),
+                inside_is_blocked=False,
+                prune=True,
+                dtype=self._dtype,
+            )
+            self._feature_map_built = True
+        return self._feature_map
 
     def compute_cost(self, x: jnp.ndarray) -> jnp.ndarray:
         """Batched off-lane cost (lane_map_2d.py:90-122)."""

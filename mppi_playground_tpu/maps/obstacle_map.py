@@ -26,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
+from mppi_playground_tpu.maps.feature_query import FeatureMapData, build_feature_map
 
 
 @dataclasses.dataclass
@@ -73,6 +74,8 @@ class ObstacleMap:
         self.circle_obs_list: List[CircleObstacle] = []
         self.rectangle_obs_list: List[RectangleObstacle] = []
         self._device_map: Optional[GridMapData] = None
+        self._feature_map: Optional[FeatureMapData] = None
+        self._feature_map_built = False
 
     # ------------------------------------------------------------------
     def add_circle_obstacle(self, center: np.ndarray, radius: float) -> None:
@@ -90,6 +93,7 @@ class ObstacleMap:
 
         self.circle_obs_list.append(CircleObstacle(np.asarray(center, float), radius))
         self._device_map = None
+        self._feature_map_built = False
 
     def add_rectangle_obstacle(
         self, center: np.ndarray, width: float, height: float
@@ -110,6 +114,7 @@ class ObstacleMap:
             RectangleObstacle(np.asarray(center, float), width, height)
         )
         self._device_map = None
+        self._feature_map_built = False
 
     # ------------------------------------------------------------------
     @property
@@ -122,6 +127,57 @@ class ObstacleMap:
                 cell_size=float(self._cell_size),
             )
         return self._device_map
+
+    @property
+    def feature_map(self) -> Optional[FeatureMapData]:
+        """Gather-free analytic query data (see maps/feature_query.py).
+
+        Built from the obstacle list with the rasterizer's exact cell
+        arithmetic and verified cell-for-cell against the stored grid;
+        ``None`` when the grid cannot be reproduced analytically (e.g.
+        clipped off-map rasterization), in which case callers keep the
+        gather path.
+        """
+        if not self._feature_map_built:
+            discs = np.array(
+                [
+                    np.round(c.center / self._cell_size + self._cell_map_origin)
+                    for c in self.circle_obs_list
+                ],
+                np.int64,
+            ).reshape(-1, 2)
+            r2 = np.array(
+                [ceil(c.radius / self._cell_size) ** 2 for c in self.circle_obs_list],
+                np.float64,
+            )
+            rects = []
+            for r in self.rectangle_obs_list:
+                center_occ = np.ceil(
+                    r.center / self._cell_size + self._cell_map_origin
+                ).astype(int)
+                w_occ = ceil(ceil(r.width / self._cell_size) / 2)
+                h_occ = ceil(ceil(r.height / self._cell_size) / 2)
+                rects.append(
+                    [
+                        np.clip(center_occ[0] - w_occ, 0, self._map.shape[0] - 1),
+                        np.clip(center_occ[0] + w_occ, 0, self._map.shape[0] - 1),
+                        np.clip(center_occ[1] - h_occ, 0, self._map.shape[1] - 1),
+                        np.clip(center_occ[1] + h_occ, 0, self._map.shape[1] - 1),
+                    ]
+                )
+            self._feature_map = build_feature_map(
+                self._map,
+                self._cell_map_origin,
+                self._cell_size,
+                discs,
+                r2,
+                rects=np.asarray(rects, np.int64).reshape(-1, 4),
+                inside_is_blocked=True,
+                prune=False,
+                dtype=self._dtype,
+            )
+            self._feature_map_built = True
+        return self._feature_map
 
     def compute_cost(self, x: jnp.ndarray) -> jnp.ndarray:
         """Batched occupancy cost (obstacle_map_2d.py:168-200)."""

@@ -26,7 +26,7 @@ from typing import Callable, Tuple
 
 import jax.numpy as jnp
 
-from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
+from mppi_playground_tpu.maps.grid_cost import map_query
 from mppi_playground_tpu.models.bicycle import V_MAX
 
 # Reference cost weights (racing.py:41-46)
@@ -39,8 +39,8 @@ QDIN = 0.5  # input rate
 
 
 def make_mpcc_cost(
-    obstacle_map: GridMapData,
-    lane_map: GridMapData,
+    obstacle_map,
+    lane_map,
     qc: float = QC,
     ql: float = QL,
     qv: float = QV,
@@ -49,6 +49,10 @@ def make_mpcc_cost(
     qdin: float = QDIN,
 ) -> Callable[[jnp.ndarray, jnp.ndarray, dict], jnp.ndarray]:
     """Contouring-control stage cost (racing.py:110-159).
+
+    ``obstacle_map`` / ``lane_map`` accept either a ``GridMapData`` (gather
+    query) or a ``FeatureMapData`` (analytic gather-free query — the TPU
+    fast path); see ``maps.grid_cost.map_query``.
 
     Expects ``info['reference_path']`` of shape ``[horizon+1, 4]``
     (x, y, yaw, v_target) and the solver-provided ``info['t']`` /
@@ -72,7 +76,7 @@ def make_mpcc_cost(
         velocity_cost = qv * (state[:, 3] - ref[3]) ** 2
 
         pos = state[:, :2]
-        map_cost = grid_cost(obstacle_map, pos) + grid_cost(lane_map, pos)
+        map_cost = map_query(obstacle_map, pos) + map_query(lane_map, pos)
         obstacle_cost = qo * map_cost
 
         input_cost = qin * jnp.sum(action**2, axis=1)

@@ -15,7 +15,7 @@ from typing import Callable, Tuple
 
 import jax.numpy as jnp
 
-from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
+from mppi_playground_tpu.maps.grid_cost import map_query
 from mppi_playground_tpu.utils.angles import angle_normalize
 
 DIM_STATE = 3  # [x, y, theta]
@@ -52,14 +52,14 @@ def make_dynamics(
 
 def make_navigation_cost(
     goal: jnp.ndarray,
-    obstacle_map: GridMapData,
+    obstacle_map,
     obstacle_weight: float = OBSTACLE_WEIGHT,
 ) -> Callable[[jnp.ndarray, jnp.ndarray, dict], jnp.ndarray]:
     """Goal-distance + occupancy-penalty cost (navigation_2d.py:257-279)."""
 
     def cost(state: jnp.ndarray, action: jnp.ndarray, info: dict) -> jnp.ndarray:
         goal_cost = jnp.linalg.norm(state[:, :2] - goal, axis=1)
-        obstacle_cost = grid_cost(obstacle_map, state[:, :2])
+        obstacle_cost = map_query(obstacle_map, state[:, :2])
         return goal_cost + obstacle_weight * obstacle_cost
 
     return cost
