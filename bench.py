@@ -30,12 +30,15 @@ ITERS = 30
 
 def build():
     from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
     from mppi_playground_tpu.core.solver import make_solver
     from mppi_playground_tpu.envs.racing_env import RacingEnv
     from mppi_playground_tpu.models.racing_mpcc import (
         calc_ref_trajectory,
         make_mpcc_cost,
+        make_racing_fused_task,
     )
+    from mppi_playground_tpu.ops.fused_solve import fused_supported
 
     env = RacingEnv()
     config = MPPIConfig(
@@ -49,8 +52,18 @@ def build():
         lambda_=1.0,
         store_rollouts=False,  # production serving config: rollouts implicit
     )
-    cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
-    solver = make_solver(config, env.dynamics, cost_fn, jit=False)
+    if fused_supported():
+        # one Pallas kernel per tick (ops/fused_solve.py)
+        task = make_racing_fused_task(
+            env.obstacle_map.row_interval_table,
+            env.lane_map.row_interval_table,
+            x_lim=tuple(env.obstacle_map.x_lim),
+            y_lim=tuple(env.obstacle_map.y_lim),
+        )
+        solver = make_fused_solver(config, task, env.dynamics, jit=False)
+    else:
+        cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
+        solver = make_solver(config, env.dynamics, cost_fn, jit=False)
     path = env.racing_center_path
 
     def tick(solver_state, cind, x):

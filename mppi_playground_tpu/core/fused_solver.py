@@ -1,0 +1,142 @@
+"""Solver facade over the fused Pallas kernel (``ops/fused_solve.py``).
+
+Produces the same ``MPPISolver`` bundle as ``core/solver.make_solver`` —
+identical ``MPPIState`` pytree, ``SolveResult``/``SolveAux`` outputs,
+warm-start and Savitzky–Golay semantics (mppi.py:223-460) — with the
+sample/rollout/cost/weighting body executed by the single fused TPU
+kernel instead of the XLA scan pipeline.
+
+Scope (asserted): fixed lambda, f32, no rollout storage,
+``horizon * dim_control <= 128``.  Configs outside this envelope (auto-
+lambda, diagnostics that need per-sample trajectories) use the XLA path;
+the two are numerically equivalent given the same noise
+(tests/test_fused_solve.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mppi_playground_tpu.core.config import MPPIConfig, MPPIState
+from mppi_playground_tpu.core.sg_filter import apply_sg_filter, savitzky_golay_coeffs
+from mppi_playground_tpu.core.solver import MPPISolver, SolveAux, SolveResult
+from mppi_playground_tpu.ops.fused_solve import FusedTask, make_fused_solve
+
+
+def make_fused_solver(
+    config: MPPIConfig,
+    task: FusedTask,
+    dynamics: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    jit: bool = True,
+    donate_state: bool = True,
+    interpret: Optional[bool] = None,
+) -> MPPISolver:
+    """Build the fused-kernel solver.
+
+    Args:
+        config: solver config (fixed ``lambda_`` required).
+        task: the model's structure-of-arrays plug for the kernel.
+        dynamics: array-of-structs dynamics, used only for the nominal
+            trajectory re-roll (mppi.py:508-524) outside the kernel.
+    """
+    assert config.auto_lambda is None, "fused path requires fixed lambda"
+    assert not config.store_rollouts, "fused path does not store rollouts"
+
+    dtype = config.dtype
+    horizon = config.horizon
+    dim_control = config.dim_control
+    dim_state = config.dim_state
+
+    solve_core = make_fused_solve(config, task, interpret=interpret)
+    sg_coeffs = jnp.asarray(
+        savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order), dtype
+    )
+
+    def init(seed: Optional[int] = None, key: Optional[jax.Array] = None) -> MPPIState:
+        if key is None:
+            key = jax.random.PRNGKey(config.seed if seed is None else seed)
+        return MPPIState(
+            key=key,
+            previous_action_seq=jnp.zeros((horizon, dim_control), dtype),
+            sg_history=jnp.zeros((max(horizon - 1, 0), dim_control), dtype),
+            lam=jnp.asarray(config.initial_lambda, dtype),
+            mpo_log_temperature=jnp.zeros((), dtype),
+            mpo_opt_state=(),
+        )
+
+    def states_prediction(x0: jnp.ndarray, action_seqs: jnp.ndarray) -> jnp.ndarray:
+        batch = action_seqs.shape[0]
+        x0_b = jnp.broadcast_to(x0.astype(dtype), (batch, dim_state))
+
+        def step(x, u):
+            x_next = dynamics(x, u)
+            return x_next, x_next
+
+        _, stacked = jax.lax.scan(step, x0_b, jnp.swapaxes(action_seqs, 0, 1))
+        return jnp.concatenate(
+            [x0_b[:, None], jnp.swapaxes(stacked, 0, 1)], axis=1
+        )
+
+    def solve(
+        state: MPPIState,
+        x0: jnp.ndarray,
+        info: Optional[Dict[str, Any]] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> SolveResult:
+        user_info = {} if info is None else dict(info)
+        x0 = jnp.asarray(x0, dtype)
+
+        key, noise_key = jax.random.split(state.key)
+        seed = jax.random.randint(noise_key, (), 0, jnp.iinfo(jnp.int32).max)
+
+        smem_arrays = task.smem_builder(user_info)
+        costs, update, weights, ess = solve_core(
+            x0, state.previous_action_seq, state.lam, seed, smem_arrays, noise
+        )
+
+        optimal_action_seq = update
+        if config.use_sg_filter:
+            optimal_action_seq = apply_sg_filter(
+                optimal_action_seq, state.sg_history, sg_coeffs
+            )
+
+        optimal_state_seq = states_prediction(x0, optimal_action_seq[None])[0]
+
+        if horizon > 1:
+            new_sg_history = jnp.concatenate(
+                [state.sg_history[1:], optimal_action_seq[:1]], axis=0
+            )
+        else:
+            new_sg_history = state.sg_history
+
+        new_state = MPPIState(
+            key=key,
+            previous_action_seq=optimal_action_seq,
+            sg_history=new_sg_history,
+            lam=state.lam,
+            mpo_log_temperature=state.mpo_log_temperature,
+            mpo_opt_state=state.mpo_opt_state,
+        )
+        aux = SolveAux(
+            costs=costs, weights=weights, lam=state.lam, ess=ess,
+            state_seq_batch=None,
+        )
+        return SolveResult(optimal_action_seq, optimal_state_seq, new_state, aux)
+
+    if jit:
+        donate = (0,) if donate_state else ()
+        solve_fn = jax.jit(solve, donate_argnums=donate)
+        states_prediction_jit = jax.jit(states_prediction)
+    else:
+        solve_fn = solve
+        states_prediction_jit = states_prediction
+
+    return MPPISolver(
+        config=config,
+        init=init,
+        solve=solve_fn,
+        states_prediction=states_prediction_jit,
+    )

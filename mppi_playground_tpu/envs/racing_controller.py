@@ -22,8 +22,14 @@ import jax.numpy as jnp
 
 from mppi_playground_tpu.core import diagnostics
 from mppi_playground_tpu.core.config import MPPIConfig
+from mppi_playground_tpu.core.fused_solver import make_fused_solver
 from mppi_playground_tpu.core.solver import make_solver
-from mppi_playground_tpu.models.racing_mpcc import calc_ref_trajectory, make_mpcc_cost
+from mppi_playground_tpu.models.racing_mpcc import (
+    calc_ref_trajectory,
+    make_mpcc_cost,
+    make_racing_fused_task,
+)
+from mppi_playground_tpu.ops.fused_solve import fused_supported
 
 
 class RacingController:
@@ -42,7 +48,15 @@ class RacingController:
         seed: int = 42,
         store_rollouts: bool = True,
         kernel_backend: str = "auto",
+        solver_backend: str = "auto",
     ) -> None:
+        """
+        Args:
+            solver_backend: ``'fused'`` (single Pallas kernel per tick,
+                ops/fused_solve.py), ``'xla'`` (scan pipeline), or
+                ``'auto'`` — fused on TPU when the config allows it (fixed
+                lambda, no rollout storage).
+        """
         self.env = env
         self.config = MPPIConfig(
             horizon=horizon,
@@ -58,9 +72,29 @@ class RacingController:
             store_rollouts=store_rollouts,
             kernel_backend=kernel_backend,
         )
-        cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
+        if solver_backend == "auto":
+            fused_ok = (
+                fused_supported()
+                and not store_rollouts
+                and isinstance(lambda_, (int, float))
+                and horizon * 2 <= 128
+            )
+            solver_backend = "fused" if fused_ok else "xla"
+        self.solver_backend = solver_backend
         # inner solver stays unjitted; the full tick below is the jit unit
-        self._solver = make_solver(self.config, env.dynamics, cost_fn, jit=False)
+        if solver_backend == "fused":
+            task = make_racing_fused_task(
+                env.obstacle_map.row_interval_table,
+                env.lane_map.row_interval_table,
+                x_lim=tuple(env.obstacle_map.x_lim),
+                y_lim=tuple(env.obstacle_map.y_lim),
+            )
+            self._solver = make_fused_solver(
+                self.config, task, env.dynamics, jit=False
+            )
+        else:
+            cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
+            self._solver = make_solver(self.config, env.dynamics, cost_fn, jit=False)
         path = env.racing_center_path
         v_max = float(env.V_MAX)
         dl = float(env.dl)

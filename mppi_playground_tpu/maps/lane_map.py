@@ -107,6 +107,17 @@ class LaneMap:
             self._feature_map_built = True
         return self._feature_map
 
+    @property
+    def row_interval_table(self):
+        """Per-row interval encoding for in-kernel queries (ops/row_intervals)."""
+        if getattr(self, "_row_interval_table", None) is None:
+            from mppi_playground_tpu.ops.row_intervals import build_row_interval_table
+
+            self._row_interval_table = build_row_interval_table(
+                self._map, self._cell_map_origin, self._cell_size
+            )
+        return self._row_interval_table
+
     def compute_cost(self, x: jnp.ndarray) -> jnp.ndarray:
         """Batched off-lane cost (lane_map_2d.py:90-122)."""
         return grid_cost(self.device_map, x)

@@ -26,6 +26,38 @@ V_MAX = 8.0
 DELTA_T = 0.1
 
 
+def make_dynamics_soa(
+    x_lim: Tuple[float, float],
+    y_lim: Tuple[float, float],
+    u_min: Tuple[float, float] = U_MIN,
+    u_max: Tuple[float, float] = U_MAX,
+    wheelbase: float = WHEELBASE,
+    v_max: float = V_MAX,
+    delta_t: float = DELTA_T,
+) -> Callable[[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]], Tuple[jnp.ndarray, ...]]:
+    """Structure-of-arrays bicycle step: tuples of same-shape arrays.
+
+    The SoA form is the TPU-native layout — each state component fills
+    whole vector registers instead of 4 of 128 lanes in a ``[K, 4]``
+    array — and is what the fused Pallas solve kernel traces.  The
+    array-of-structs wrapper below keeps the reference call signature.
+    """
+
+    def dynamics_soa(xs, us):
+        x, y, theta, v = xs
+        theta = angle_normalize(theta)
+        accel = jnp.clip(us[0], u_min[0], u_max[0])
+        steer = jnp.clip(us[1], u_min[1], u_max[1])
+
+        new_x = jnp.clip(x + v * jnp.cos(theta) * delta_t, x_lim[0], x_lim[1])
+        new_y = jnp.clip(y + v * jnp.sin(theta) * delta_t, y_lim[0], y_lim[1])
+        new_theta = angle_normalize(theta + v * jnp.tan(steer) / wheelbase * delta_t)
+        new_v = jnp.clip(v + accel * delta_t, -v_max, v_max)
+        return (new_x, new_y, new_theta, new_v)
+
+    return dynamics_soa
+
+
 def make_dynamics(
     x_lim: Tuple[float, float],
     y_lim: Tuple[float, float],
@@ -36,19 +68,13 @@ def make_dynamics(
     delta_t: float = DELTA_T,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Kinematic bicycle Euler step (racing_env.py:327-372)."""
+    soa = make_dynamics_soa(x_lim, y_lim, u_min, u_max, wheelbase, v_max, delta_t)
 
     def dynamics(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
-        x = state[:, 0]
-        y = state[:, 1]
-        theta = angle_normalize(state[:, 2])
-        v = state[:, 3]
-        accel = jnp.clip(action[:, 0], u_min[0], u_max[0])
-        steer = jnp.clip(action[:, 1], u_min[1], u_max[1])
-
-        new_x = jnp.clip(x + v * jnp.cos(theta) * delta_t, x_lim[0], x_lim[1])
-        new_y = jnp.clip(y + v * jnp.sin(theta) * delta_t, y_lim[0], y_lim[1])
-        new_theta = angle_normalize(theta + v * jnp.tan(steer) / wheelbase * delta_t)
-        new_v = jnp.clip(v + accel * delta_t, -v_max, v_max)
-        return jnp.stack([new_x, new_y, new_theta, new_v], axis=1)
+        xs = soa(
+            (state[:, 0], state[:, 1], state[:, 2], state[:, 3]),
+            (action[:, 0], action[:, 1]),
+        )
+        return jnp.stack(xs, axis=1)
 
     return dynamics

@@ -87,6 +87,107 @@ def make_mpcc_cost(
     return cost
 
 
+def make_mpcc_cost_soa(
+    qc: float = QC,
+    ql: float = QL,
+    qv: float = QV,
+    qo: float = QO,
+    qin: float = QIN,
+    qdin: float = QDIN,
+) -> Callable:
+    """Structure-of-arrays MPCC stage cost for the fused Pallas solve.
+
+    Same arithmetic as :func:`make_mpcc_cost` (racing.py:110-159), but on
+    component tuples (full-vreg layout) with the map penalty computed by
+    the row-interval query (``ops/row_intervals.py``) instead of a gather.
+    Expects in ``ctx``:
+
+    * ``ctx['smem']['xref']`` — ref with rows ``(x, y, sin_yaw, cos_yaw,
+      v_target)``, indexed by the static step ``ctx['t']``;
+    * ``ctx['vmem']['obstacle_table']`` / ``['lane_table']`` —
+      :class:`~mppi_playground_tpu.ops.row_intervals.RowIntervalTable`
+      pytrees with their ``lo``/``hi`` leaves materialized in VMEM.
+    """
+    from mppi_playground_tpu.ops.row_intervals import interval_query
+
+    def cost_soa(xs, us, ctx):
+        x, y, _theta, v = xs
+        t = ctx["t"]
+        xref = ctx["smem"]["xref"]
+        rx = xref[t, 0]
+        ry = xref[t, 1]
+        sin_yaw = xref[t, 2]
+        cos_yaw = xref[t, 3]
+        rv = xref[t, 4]
+
+        dx = x - rx
+        dy = y - ry
+        ec = sin_yaw * dx - cos_yaw * dy
+        el = -cos_yaw * dx - sin_yaw * dy
+        path_cost = qc * ec * ec + ql * el * el
+
+        velocity_cost = qv * (v - rv) ** 2
+
+        map_cost = interval_query(
+            ctx["vmem"]["obstacle_table"], x, y
+        ) + interval_query(ctx["vmem"]["lane_table"], x, y)
+        obstacle_cost = qo * map_cost
+
+        input_cost = sum(qin * u * u for u in us)
+        input_cost = input_cost + sum(
+            qdin * (u - pu) ** 2 for u, pu in zip(us, ctx["prev_us"])
+        )
+        return path_cost + velocity_cost + obstacle_cost + input_cost
+
+    return cost_soa
+
+
+def make_racing_fused_task(
+    obstacle_table,
+    lane_table,
+    x_lim: Tuple[float, float],
+    y_lim: Tuple[float, float],
+):
+    """Bundle the racing model for the fused Pallas solve kernel.
+
+    Args:
+        obstacle_table / lane_table: ``RowIntervalTable`` encodings of the
+            env's occupancy grids (``ObstacleMap.row_interval_table`` /
+            ``LaneMap.row_interval_table``).
+        x_lim / y_lim: map bounds for the bicycle position clamp.
+    """
+    from mppi_playground_tpu.models.bicycle import make_dynamics_soa
+    from mppi_playground_tpu.ops.fused_solve import FusedTask
+
+    def smem_builder(info: dict) -> dict:
+        return {"xref": extend_reference_path(info["reference_path"])}
+
+    return FusedTask(
+        dynamics_soa=make_dynamics_soa(x_lim=x_lim, y_lim=y_lim),
+        stage_cost_soa=make_mpcc_cost_soa(),
+        vmem_args={"obstacle_table": obstacle_table, "lane_table": lane_table},
+        smem_builder=smem_builder,
+    )
+
+
+def extend_reference_path(xref: jnp.ndarray) -> jnp.ndarray:
+    """``[T+1, 4]`` (x, y, yaw, v) -> ``[T+1, 5]`` (x, y, sin, cos, v).
+
+    Precomputes the per-row sin/cos outside the kernel so the in-kernel
+    reference reads are plain scalar loads.
+    """
+    return jnp.stack(
+        [
+            xref[:, 0],
+            xref[:, 1],
+            jnp.sin(xref[:, 2]),
+            jnp.cos(xref[:, 2]),
+            xref[:, 3],
+        ],
+        axis=1,
+    )
+
+
 def calc_ref_trajectory(
     state: jnp.ndarray,
     path: jnp.ndarray,

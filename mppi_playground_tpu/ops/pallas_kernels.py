@@ -37,43 +37,66 @@ def supports_weighted_update(costs: jnp.ndarray, samples: jnp.ndarray) -> bool:
 
 def _weighted_update_kernel(
     lam_ref,  # SMEM (1, 1)
-    costs_ref,  # VMEM (K_TILE, 1)
+    costs_ref,  # VMEM (8, 128) — cost tile, sample k at (k // 128, k % 128)
     samples_ref,  # VMEM (K_TILE, D)
-    out_ref,  # VMEM (1, D) running rescaled numerator
-    stats_ref,  # VMEM (1, 128): [0]=running max, [1]=Z, [2]=sum exp^2
+    out_ref,  # VMEM (8, D) running rescaled numerator (row 0 meaningful)
+    stats_ref,  # VMEM (8, 128): lane 0=running max, 1=Z, 2=sum exp^2
 ):
+    # Mosaic wants native (8, 128) tiles and forbids scalar stores into
+    # VMEM: costs are consumed as a 2D vreg, the three running scalars live
+    # in lanes 0..2 of a full vreg (lane-iota select), and the numerator is
+    # accumulated via 8 sublane-sliced [1, 128] x [128, D] MXU matmuls.
     i = pl.program_id(0)
     lam = lam_ref[0, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-    s = -costs_ref[:, 0] / lam  # [K_TILE]
+    s = -costs_ref[:, :] / lam  # [8, 128]
     tile_max = jnp.max(s)
+
+    def numerator(e):
+        acc = None
+        for sub in range(8):
+            part = jnp.dot(
+                e[sub : sub + 1, :],
+                samples_ref[sub * 128 : (sub + 1) * 128, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        return acc  # [1, D]
 
     @pl.when(i == 0)
     def _first_tile():
         e = jnp.exp(s - tile_max)
-        stats_ref[0, :] = jnp.zeros_like(stats_ref[0, :])
-        stats_ref[0, 0] = tile_max
-        stats_ref[0, 1] = jnp.sum(e)
-        stats_ref[0, 2] = jnp.sum(e * e)
-        # Numerator: [1, K_TILE] @ [K_TILE, D] on the MXU.
-        out_ref[:, :] = jnp.dot(
-            e[None, :], samples_ref[:, :], preferred_element_type=jnp.float32
+        stats = jnp.where(
+            lane == 0,
+            tile_max,
+            jnp.where(lane == 1, jnp.sum(e), jnp.where(lane == 2, jnp.sum(e * e), 0.0)),
         )
+        stats_ref[:, :] = stats
+        out_ref[:, :] = jnp.broadcast_to(numerator(e), out_ref.shape)
 
     @pl.when(i > 0)
     def _accumulate():
         m_prev = stats_ref[0, 0]
+        z_prev = stats_ref[0, 1]
+        sq_prev = stats_ref[0, 2]
         m_new = jnp.maximum(m_prev, tile_max)
         # Rescale previous accumulators to the new running max.
         alpha = jnp.exp(m_prev - m_new)
         e = jnp.exp(s - m_new)
-        stats_ref[0, 0] = m_new
-        stats_ref[0, 1] = stats_ref[0, 1] * alpha + jnp.sum(e)
-        stats_ref[0, 2] = stats_ref[0, 2] * (alpha * alpha) + jnp.sum(e * e)
-        contrib = jnp.dot(
-            e[None, :], samples_ref[:, :], preferred_element_type=jnp.float32
+        stats = jnp.where(
+            lane == 0,
+            m_new,
+            jnp.where(
+                lane == 1,
+                z_prev * alpha + jnp.sum(e),
+                jnp.where(lane == 2, sq_prev * (alpha * alpha) + jnp.sum(e * e), 0.0),
+            ),
         )
-        out_ref[:, :] = out_ref[:, :] * alpha + contrib
+        stats_ref[:, :] = stats
+        out_ref[:, :] = out_ref[:, :] * alpha + jnp.broadcast_to(
+            numerator(e), out_ref.shape
+        )
 
 
 def weighted_update(
@@ -96,23 +119,23 @@ def weighted_update(
     samples2d = samples.reshape(k, d)
     lam32 = jnp.asarray(lam, jnp.float32)
     lam2d = lam32.reshape(1, 1)
-    costs2d = costs.reshape(k, 1)
+    costs2d = costs.reshape(k // 128, 128)
 
     numerator, stats = pl.pallas_call(
         _weighted_update_kernel,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_K_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_K_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(lam2d, costs2d, samples2d)

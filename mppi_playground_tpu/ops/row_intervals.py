@@ -1,0 +1,163 @@
+"""Per-row interval encoding of occupancy grids for in-kernel queries.
+
+Any 2D occupancy grid can be encoded row-by-row as a union of blocked
+column intervals: ``blocked(ix, iy) = any_k( lo_k[ix] <= iy < hi_k[ix] )``.
+Reference-style maps are extremely interval-sparse — the racing lane
+corridor has <= 3 blocked intervals per row and the obstacle field <= 6
+(``/root/reference/src/envs/lane_map_2d.py``, ``obstacle_map_2d.py``) — so
+a full map query needs only ``2 * max_intervals`` values per point.
+
+Why this representation: inside a Pallas kernel the interval tables are a
+handful of ``[8, 128]`` vregs in VMEM, and the per-point row lookup is a
+lane-gather plus an 8-way sublane select (~3 vector ops per table slot).
+That prices the whole two-map MPCC occupancy query at ~0.4 vector
+instructions per rollout point, versus ~7 ns/point for an XLA HBM gather
+(the reference's approach on GPU) or ~`num_features` multiply-adds for the
+analytic disc test (maps/feature_query.py).  Exactness is structural: the
+intervals are extracted from the stored grid itself, so the encoding is
+bit-exact for *any* grid, not only geometric ones.
+
+Host build: :func:`build_row_interval_table`.  In-kernel query:
+:func:`interval_query` (also runs under jit outside Pallas for testing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+SUBLANES = 8
+TABLE_ROWS = SUBLANES * LANES  # 1024 table entries per [8, 128] vreg
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RowIntervalTable:
+    """Blocked-interval tables for one occupancy grid.
+
+    ``lo``/``hi`` are ``[M, 8, 128]``: slot ``k`` holds the k-th blocked
+    interval ``[lo, hi)`` of row ``ix`` at sublane ``ix >> 7``, lane
+    ``ix & 127``.  Unused slots are ``lo=hi=width`` (empty).  Rows beyond
+    the grid (table padding) are fully blocked, matching the out-of-bounds
+    cost of 1.0.
+    """
+
+    lo: jax.Array
+    hi: jax.Array
+    # origin/cell_size are static so in-kernel uses are scalar literals
+    origin: tuple = dataclasses.field(metadata=dict(static=True))
+    cell_size: float = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def max_intervals(self) -> int:
+        return self.lo.shape[0]
+
+
+def build_row_interval_table(
+    grid: np.ndarray,
+    origin: np.ndarray,
+    cell_size: float,
+    dtype=jnp.float32,
+) -> RowIntervalTable:
+    """Encode ``grid [W, H]`` (nonzero = blocked) as per-row intervals."""
+    g = np.asarray(grid) != 0
+    w, h = g.shape
+    rows = []
+    max_m = 1
+    for r in range(w):
+        padded = np.concatenate([[0], g[r].astype(np.int8), [0]])
+        d = np.diff(padded)
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        rows.append((starts, ends))
+        max_m = max(max_m, len(starts))
+
+    n_table_rows = -(-w // TABLE_ROWS) * TABLE_ROWS
+    lo = np.full((max_m, n_table_rows), float(h))
+    hi = np.full((max_m, n_table_rows), float(h))
+    for r, (starts, ends) in enumerate(rows):
+        lo[: len(starts), r] = starts
+        hi[: len(ends), r] = ends
+    # padding rows (>= w) are fully blocked, like out-of-bounds queries
+    lo[0, w:] = 0.0
+    hi[0, w:] = float(h)
+
+    shape = (max_m, n_table_rows // LANES, LANES)
+    return RowIntervalTable(
+        lo=jnp.asarray(lo.reshape(shape), dtype),
+        hi=jnp.asarray(hi.reshape(shape), dtype),
+        origin=(float(origin[0]), float(origin[1])),
+        cell_size=float(cell_size),
+        width=int(w),
+        height=int(h),
+    )
+
+
+def _row_lookup(table_vreg: jnp.ndarray, group: jnp.ndarray, lane: jnp.ndarray):
+    """Gather ``table_vreg[group[p], lane[p]]`` for a point block ``[8,128]``.
+
+    ``table_vreg`` is ``[G, 128]`` (G <= 8 sublane groups).  Mosaic's
+    dynamic lane-gather requires indices shaped like the operand, so each
+    sublane group is broadcast and tried in turn — G gathers + selects,
+    the cheapest full-crossbar lookup available on the VPU.
+    """
+    n_groups = table_vreg.shape[0]
+    lane = lane.astype(jnp.int32)
+    out = None
+    for grp in range(n_groups):
+        row = jnp.broadcast_to(table_vreg[grp : grp + 1, :], lane.shape)
+        val = jnp.take_along_axis(row, lane, axis=1)
+        out = val if out is None else jnp.where(group == grp, val, out)
+    return out
+
+
+def interval_query(
+    table: RowIntervalTable, px: jnp.ndarray, py: jnp.ndarray
+) -> jnp.ndarray:
+    """Occupancy cost at world positions ``(px, py)`` (any 2D block shape).
+
+    Equals ``grid_cost(grid_map, stack([px, py]))``: round to cell,
+    out-of-bounds -> 1.0, else the cell's blocked bit via the row's
+    interval tests.  Pure jnp — traces both under jit (tests) and inside
+    Pallas kernels (production path).
+    """
+    shape = px.shape
+    total = int(np.prod(shape)) if shape else 1
+    if len(shape) == 2 and shape[1] == LANES:
+        pad = 0
+    else:  # flatten + pad to [R, 128] so the lane-gather shapes line up
+        pad = (-total) % LANES
+        px = jnp.concatenate([px.reshape(-1), jnp.zeros(pad, px.dtype)])
+        py = jnp.concatenate([py.reshape(-1), jnp.zeros(pad, py.dtype)])
+        px = px.reshape(-1, LANES)
+        py = py.reshape(-1, LANES)
+
+    inv = 1.0 / table.cell_size
+    ix = jnp.round(px * inv + table.origin[0])
+    iy = jnp.round(py * inv + table.origin[1])
+    oob = (ix < 0) | (ix >= table.width) | (iy < 0) | (iy >= table.height)
+    ix = jnp.clip(ix, 0.0, float(table.width - 1))
+    iy = jnp.clip(iy, 0.0, float(table.height - 1))
+
+    ixi = ix.astype(jnp.int32)
+    group = ixi >> 7
+    lane = ixi & (LANES - 1)
+
+    blocked = jnp.zeros(px.shape, bool)
+    for k in range(table.max_intervals):
+        lo_k = _row_lookup(table.lo[k], group, lane)
+        hi_k = _row_lookup(table.hi[k], group, lane)
+        blocked = blocked | ((iy >= lo_k) & (iy < hi_k))
+
+    one = jnp.asarray(1.0, px.dtype)
+    zero = jnp.asarray(0.0, px.dtype)
+    cost = jnp.where(oob | blocked, one, zero)
+    if len(shape) == 2 and shape[1] == LANES:
+        return cost
+    return cost.reshape(-1)[:total].reshape(shape)

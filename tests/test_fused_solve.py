@@ -1,0 +1,208 @@
+"""Fused Pallas solve kernel: equivalence with the XLA solver.
+
+Runs the kernel in interpret mode on CPU (tests/conftest.py pins the CPU
+backend); the same code path compiles natively on TPU.  Equivalence is
+checked through the noise-injection seam so both solvers consume identical
+perturbations — the remaining differences are float32 reduction-order
+effects, which the weighting exponentially amplifies on near-tied samples,
+hence the modest action tolerance (costs themselves are tight).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_playground_tpu.core.config import MPPIConfig
+from mppi_playground_tpu.core.fused_solver import make_fused_solver
+from mppi_playground_tpu.core.solver import make_solver
+from mppi_playground_tpu.ops.fused_solve import FusedTask
+from mppi_playground_tpu.ops.row_intervals import (
+    build_row_interval_table,
+    interval_query,
+)
+from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
+
+K = 2048
+HORIZON = 8
+
+
+def _toy_task():
+    """Point-mass-with-drag model exercising the SoA contract, no maps."""
+
+    def dynamics_soa(xs, us):
+        px, v = xs
+        (a,) = us
+        new_v = 0.9 * v + 0.1 * jnp.clip(a, -1.0, 1.0)
+        return (px + 0.1 * new_v, new_v)
+
+    def cost_soa(xs, us, ctx):
+        px, v = xs
+        target = ctx["smem"]["target"][ctx["t"], 0]
+        prev_a = ctx["prev_us"][0]
+        return (px - target) ** 2 + 0.1 * v * v + 0.01 * (us[0] - prev_a) ** 2
+
+    def smem_builder(info):
+        return {"target": info["target"]}
+
+    return FusedTask(
+        dynamics_soa=dynamics_soa,
+        stage_cost_soa=cost_soa,
+        vmem_args={},
+        smem_builder=smem_builder,
+    )
+
+
+def _toy_aos():
+    def dynamics(state, action):
+        new_v = 0.9 * state[:, 1] + 0.1 * jnp.clip(action[:, 0], -1.0, 1.0)
+        return jnp.stack([state[:, 0] + 0.1 * new_v, new_v], axis=1)
+
+    def cost(state, action, info):
+        target = jnp.take(info["target"], info["t"], axis=0)[0]
+        prev_a = info["prev_action"][:, 0]
+        return (
+            (state[:, 0] - target) ** 2
+            + 0.1 * state[:, 1] ** 2
+            + 0.01 * (action[:, 0] - prev_a) ** 2
+        )
+
+    return dynamics, cost
+
+
+def _config(**kw):
+    defaults = dict(
+        horizon=HORIZON,
+        num_samples=K,
+        dim_state=2,
+        dim_control=1,
+        u_min=(-1.0,),
+        u_max=(1.0,),
+        sigmas=(0.7,),
+        lambda_=0.5,
+        store_rollouts=False,
+    )
+    defaults.update(kw)
+    return MPPIConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def solvers():
+    cfg = _config()
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg, dyn, cost, jit=True, donate_state=False)
+    return cfg, fused, xla
+
+
+def _info():
+    return {"target": jnp.ones((HORIZON, 1), jnp.float32) * 2.0}
+
+
+def test_fused_matches_xla_with_injected_noise(solvers):
+    cfg, fused, xla = solvers
+    x0 = jnp.asarray([0.0, 0.0], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(7), (K, HORIZON, 1), jnp.float32) * 0.7
+    )
+    rf = fused.solve(fused.init(), x0, info=_info(), noise=noise)
+    rx = xla.solve(xla.init(), x0, info=_info(), noise=noise)
+
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.costs), np.asarray(rx.aux.costs), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.weights), np.asarray(rx.aux.weights), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(rf.aux.ess), float(rx.aux.ess), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.state_seq), np.asarray(rx.state_seq), atol=5e-3
+    )
+
+
+def test_fused_padding_and_exploration():
+    """K not a multiple of 1024 (padding) + exploration split."""
+    cfg = _config(num_samples=1500, exploration=0.3)
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.asarray([0.5, -0.2], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(11), (1500, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    st_f = fused.init()
+    st_x = xla.init()
+    # warm start matters for the exploration split: run two chained solves
+    for _ in range(2):
+        rf = fused.solve(st_f, x0, info=_info(), noise=noise)
+        rx = xla.solve(st_x, x0, info=_info(), noise=noise)
+        st_f, st_x = rf.state, rx.state
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.costs), np.asarray(rx.aux.costs), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng_random_bits has no interpreter implementation",
+)
+def test_fused_kernel_rng_statistics():
+    """In-kernel Box-Muller normals: bounded actions, sane spread."""
+    cfg = _config(lambda_=100.0)  # high temperature -> update ~ sample mean
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    fused = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    r = fused.solve(fused.init(), jnp.zeros(2, jnp.float32), info=_info())
+    a = np.asarray(r.action_seq)
+    assert np.isfinite(a).all()
+    assert (a >= -1.0).all() and (a <= 1.0).all()
+    # at lambda=100 weights are near-uniform: the weighted mean of clipped
+    # N(0, 0.7) noise stays near 0 and the ESS near K
+    assert abs(float(a.mean())) < 0.1
+    assert float(r.aux.ess) > 0.5 * K
+
+
+def test_fused_sg_filter_matches():
+    cfg = _config(use_sg_filter=True, sg_window_size=5, sg_poly_order=3)
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.zeros(2, jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(3), (K, HORIZON, 1), jnp.float32) * 0.7
+    )
+    rf = fused.solve(fused.init(), x0, info=_info(), noise=noise)
+    rx = xla.solve(xla.init(), x0, info=_info(), noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
+    )
+
+
+def test_row_interval_query_matches_grid():
+    rng = np.random.default_rng(0)
+    grid = (rng.random((200, 160)) < 0.2).astype(float)
+    origin = np.array([100, 80])
+    gm = GridMapData(
+        grid=jnp.asarray(grid, jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        cell_size=0.1,
+    )
+    table = build_row_interval_table(grid, origin, 0.1)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4096, 2), jnp.float32, -12, 12)
+    a = np.asarray(jax.jit(lambda p: grid_cost(gm, p))(pts))
+    b = np.asarray(
+        jax.jit(lambda p: interval_query(table, p[:, 0], p[:, 1]))(pts)
+    )
+    np.testing.assert_array_equal(a, b)
