@@ -33,6 +33,7 @@ def make_fused_solver(
     jit: bool = True,
     donate_state: bool = True,
     interpret: Optional[bool] = None,
+    solve_core: Optional[Callable] = None,
 ) -> MPPISolver:
     """Build the fused-kernel solver.
 
@@ -41,6 +42,10 @@ def make_fused_solver(
         task: the model's structure-of-arrays plug for the kernel.
         dynamics: array-of-structs dynamics, used only for the nominal
             trajectory re-roll (mppi.py:508-524) outside the kernel.
+        solve_core: override for the kernel launcher — used by
+            ``parallel.make_sharded_fused_solver`` to substitute the
+            shard_map'd core; same signature/returns as
+            ``ops.fused_solve.make_fused_solve``'s result.
     """
     assert config.auto_lambda is None, "fused path requires fixed lambda"
     assert not config.store_rollouts, "fused path does not store rollouts"
@@ -50,7 +55,8 @@ def make_fused_solver(
     dim_control = config.dim_control
     dim_state = config.dim_state
 
-    solve_core = make_fused_solve(config, task, interpret=interpret)
+    if solve_core is None:
+        solve_core = make_fused_solve(config, task, interpret=interpret)
     sg_coeffs = jnp.asarray(
         savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order), dtype
     )

@@ -67,3 +67,44 @@ def save_gif(frames, path: str, fps: int = 10) -> Optional[str]:
 
     imageio.mimsave(path, frames, fps=fps)
     return path
+
+
+# ----------------------------------------------------------------------
+# Geometry / viz helpers (reference: circuit_generator/utils.py:12-58)
+# ----------------------------------------------------------------------
+
+
+def circle(x: float, y: float, size: float = 0.5, steps: int = 100):
+    """Arc sample points of a circle (utils.py:12-23)."""
+    deg = np.linspace(0.0, 360.0, steps)
+    rad = np.deg2rad(deg)
+    return x + size * np.cos(rad), y + size * np.sin(rad)
+
+
+def plot_arrow(ax, x, y, yaw, length: float = 1.0, width: float = 0.5, fc="r", ec="k"):
+    """Heading arrow at a pose (utils.py:26-40)."""
+    ax.arrow(
+        float(x),
+        float(y),
+        length * np.cos(yaw),
+        length * np.sin(yaw),
+        fc=fc,
+        ec=ec,
+        head_width=width,
+        head_length=width,
+    )
+
+
+def plot_robot(ax, x, y, yaw, robot_length: float = 1.0, robot_width: float = 0.5):
+    """Oriented rectangle footprint of a robot pose (utils.py:43-58)."""
+    outline = np.array(
+        [
+            [-robot_length / 2, robot_length / 2, robot_length / 2,
+             -robot_length / 2, -robot_length / 2],
+            [robot_width / 2, robot_width / 2, -robot_width / 2,
+             -robot_width / 2, robot_width / 2],
+        ]
+    )
+    rot = np.array([[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]])
+    outline = rot @ outline
+    ax.plot(outline[0] + float(x), outline[1] + float(y), "-k")

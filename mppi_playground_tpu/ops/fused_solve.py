@@ -95,7 +95,10 @@ def fused_supported() -> bool:
 
 
 def make_fused_solve(
-    config: MPPIConfig, task: FusedTask, interpret: Optional[bool] = None
+    config: MPPIConfig,
+    task: FusedTask,
+    interpret: Optional[bool] = None,
+    local_num_samples: Optional[int] = None,
 ):
     """Build ``solve_core(x0, prev_seq, lam, seed, smem, noise) -> ...``.
 
@@ -113,7 +116,16 @@ def make_fused_solve(
     assert d_flat <= LANES, "fused path requires horizon*dim_control <= 128"
     assert config.dtype == jnp.float32, "fused path is f32"
 
-    num_tiles = -(-num_samples // TILE)
+    # Under sample-axis sharding each device runs this kernel on its shard
+    # with a global tile offset; shards must be whole tiles so the global
+    # sample indexing (and the PRNG stream) is identical to the unsharded
+    # solve.  Unsharded, the last tile may be padding.
+    num_local = num_samples if local_num_samples is None else local_num_samples
+    if local_num_samples is not None:
+        assert local_num_samples % TILE == 0, (
+            "sharded fused solve needs num_samples divisible by 1024 * n_shards"
+        )
+    num_tiles = -(-num_local // TILE)
     k_pad = num_tiles * TILE
     threshold = config.inherited_samples
     sigmas = tuple(float(s) for s in config.sigmas)
@@ -123,8 +135,8 @@ def make_fused_solve(
     vmem_leaves, vmem_treedef = jax.tree_util.tree_flatten(task.vmem_args)
     smem_template = None  # resolved on first call; key order must be stable
 
-    def kernel(x0_ref, prev_ref, lam_ref, seed_ref, *refs, noise_mode: bool,
-               smem_keys: Tuple[str, ...]):
+    def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
+               noise_mode: bool, smem_keys: Tuple[str, ...]):
         n_vmem = len(vmem_leaves)
         n_smem = len(smem_keys)
         vmem_refs = refs[:n_vmem]
@@ -134,7 +146,10 @@ def make_fused_solve(
         idx += 1 if noise_mode else 0
         costs_ref, stats_ref, numer_ref = refs[idx : idx + 3]
 
-        i = pl.program_id(0)
+        # Global tile id: offset_ref carries this shard's first tile under
+        # sample-axis sharding, making the PRNG stream (and hence results)
+        # invariant to the mesh shape (SURVEY.md §7 hard part #6).
+        i = offset_ref[0] + pl.program_id(0)
         vmem_vals = vmem_treedef.unflatten([r[:] for r in vmem_refs])
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
@@ -199,7 +214,7 @@ def make_fused_solve(
         )
         acc = acc + task.stage_cost_soa(xs, zeros_u, ctx)
 
-        if k_pad > num_samples:  # padding samples never win the softmin
+        if k_pad > num_local:  # padding samples never win the softmin
             acc = jnp.where(sidx < num_samples, acc, 1e30)
         costs_ref[:, :] = acc
 
@@ -225,14 +240,16 @@ def make_fused_solve(
         numer_ref[0, :, :] = numer
 
     # ------------------------------------------------------------------
-    def solve_core(
+    def run_kernel(
         x0: jnp.ndarray,
         prev_action_seq: jnp.ndarray,
         lam: jnp.ndarray,
         seed: jnp.ndarray,
         smem_arrays: Dict[str, jnp.ndarray],
         noise: Optional[jnp.ndarray] = None,
+        tile_offset=0,
     ):
+        """Kernel launch -> (costs [num_local], stats, numer) tile partials."""
         smem_keys = tuple(sorted(smem_arrays.keys()))
         noise_mode = noise is not None
 
@@ -241,12 +258,14 @@ def make_fused_solve(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # prev [T, m]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lam [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile offset [1]
         ]
         args = [
             jnp.asarray(x0, jnp.float32),
             jnp.asarray(prev_action_seq, jnp.float32),
             jnp.asarray(lam, jnp.float32).reshape(1),
             jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(tile_offset, jnp.int32).reshape(1),
         ]
         for leaf in vmem_leaves:
             in_specs.append(
@@ -261,11 +280,11 @@ def make_fused_solve(
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(jnp.asarray(smem_arrays[kname], jnp.float32))
         if noise_mode:
-            # [K, T, m] -> [T*m, K_pad/128, 128], tile i reads rows 8i..8i+8
-            nz = jnp.asarray(noise, jnp.float32).reshape(num_samples, d_flat)
+            # [K_local, T, m] -> [T*m, K_pad/128, 128]; tile i reads rows 8i..
+            nz = jnp.asarray(noise, jnp.float32).reshape(num_local, d_flat)
             nz = jnp.concatenate(
-                [nz, jnp.zeros((k_pad - num_samples, d_flat), jnp.float32)]
-            ) if k_pad > num_samples else nz
+                [nz, jnp.zeros((k_pad - num_local, d_flat), jnp.float32)]
+            ) if k_pad > num_local else nz
             nz = nz.T.reshape(d_flat, k_pad // LANES, LANES)
             in_specs.append(
                 pl.BlockSpec(
@@ -300,21 +319,48 @@ def make_fused_solve(
             interpret=interpret,
         )(*args)
 
-        costs = costs2d.reshape(k_pad)[:num_samples]
+        costs = costs2d.reshape(k_pad)[:num_local]
+        return costs, stats[:, 0, :], numer[:, 0, :]
 
-        # --- XLA epilogue: merge tile partials (rescaled online softmax) ---
-        stats = stats[:, 0, :]
-        numer = numer[:, 0, :]
+    def combine_partials(costs, stats, numer, lam, axis_name: Optional[str] = None):
+        """Merge tile partials into (update, weights, ess).
+
+        With ``axis_name`` set (inside ``shard_map``), the merge reduces
+        across the mesh axis as well — the only cross-device traffic of
+        the whole solve: one scalar pmax + O(T*m) psum per tick.
+        """
         tile_max = stats[:, 0]
         mx = jnp.max(tile_max)
+        if axis_name is not None:
+            mx = jax.lax.pmax(mx, axis_name)
         alpha = jnp.exp(tile_max - mx)
         z = jnp.sum(alpha * stats[:, 1])
         sumsq = jnp.sum(alpha * alpha * stats[:, 2])
         numer_g = jnp.sum(alpha[:, None] * numer, axis=0)[:d_flat]
+        if axis_name is not None:
+            z = jax.lax.psum(z, axis_name)
+            sumsq = jax.lax.psum(sumsq, axis_name)
+            numer_g = jax.lax.psum(numer_g, axis_name)
 
         update = (numer_g / z).reshape(horizon, dim_control)
         weights = jnp.exp(-costs / lam - mx) / z
         ess = (z * z) / sumsq
+        return update, weights, ess
+
+    def solve_core(
+        x0: jnp.ndarray,
+        prev_action_seq: jnp.ndarray,
+        lam: jnp.ndarray,
+        seed: jnp.ndarray,
+        smem_arrays: Dict[str, jnp.ndarray],
+        noise: Optional[jnp.ndarray] = None,
+    ):
+        costs, stats, numer = run_kernel(
+            x0, prev_action_seq, lam, seed, smem_arrays, noise
+        )
+        update, weights, ess = combine_partials(costs, stats, numer, lam)
         return costs, update, weights, ess
 
+    solve_core.run_kernel = run_kernel
+    solve_core.combine_partials = combine_partials
     return solve_core

@@ -6,8 +6,10 @@ from mppi_playground_tpu.parallel.mesh import (
 )
 from mppi_playground_tpu.parallel.sharded import (
     BatchedMPPISolver,
+    ShardedFusedSolver,
     ShardedMPPISolver,
     make_batched_solver,
+    make_sharded_fused_solver,
     make_sharded_solver,
 )
 
@@ -15,9 +17,11 @@ __all__ = [
     "SAMPLE_AXIS",
     "SCENARIO_AXIS",
     "BatchedMPPISolver",
+    "ShardedFusedSolver",
     "ShardedMPPISolver",
     "initialize_distributed",
     "make_batched_solver",
     "make_mesh",
+    "make_sharded_fused_solver",
     "make_sharded_solver",
 ]

@@ -155,3 +155,92 @@ def make_batched_solver(
     return BatchedMPPISolver(
         config=config, mesh=mesh, init_batch=init_batch, solve_batch=solve_batch
     )
+
+
+# ----------------------------------------------------------------------
+# Sharded fused-kernel solver (one Pallas kernel per device per tick)
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedFusedSolver:
+    """Fused Pallas solve with the sample axis sharded over a mesh.
+
+    Each device runs ``ops/fused_solve.py``'s kernel on its K/n shard with
+    a global tile offset, so the PRNG stream — and hence the solution — is
+    identical to the single-device fused solve for any mesh shape.  The
+    only cross-device traffic per tick is one scalar pmax plus O(T*m)
+    psums (the softmin normalizer, ESS term and weighted numerator).
+    """
+
+    config: MPPIConfig
+    mesh: Mesh
+    init: Callable[..., MPPIState]
+    solve: Callable[..., SolveResult]
+
+
+def make_sharded_fused_solver(
+    config: MPPIConfig,
+    task,
+    dynamics: Dynamics,
+    mesh: Mesh,
+    sample_axis: str = SAMPLE_AXIS,
+    jit: bool = True,
+    interpret: Optional[bool] = None,
+) -> ShardedFusedSolver:
+    """Shard the fused Pallas solve over ``mesh``'s sample axis.
+
+    Requires ``num_samples % (1024 * n_shards) == 0`` (whole kernel tiles
+    per shard).  ``task`` is the model's
+    :class:`~mppi_playground_tpu.ops.fused_solve.FusedTask`.
+    """
+    from jax.sharding import PartitionSpec
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
+    from mppi_playground_tpu.ops.fused_solve import TILE, make_fused_solve
+
+    n_shards = mesh.shape[sample_axis]
+    assert config.num_samples % (TILE * n_shards) == 0, (
+        f"num_samples must divide into {TILE}-sample tiles per shard"
+    )
+    local_k = config.num_samples // n_shards
+    local_tiles = local_k // TILE
+    core = make_fused_solve(
+        config, task, interpret=interpret, local_num_samples=local_k
+    )
+
+    rep = PartitionSpec()
+    shard = PartitionSpec(sample_axis)
+
+    def sharded_core(x0, prev_seq, lam, seed, smem_arrays, noise=None):
+        smem_specs = jax.tree_util.tree_map(lambda _: rep, smem_arrays)
+        noise_spec = shard if noise is not None else rep
+
+        def shard_fn(x0, prev_seq, lam, seed, smem_arrays, noise):
+            idx = jax.lax.axis_index(sample_axis)
+            costs, stats, numer = core.run_kernel(
+                x0, prev_seq, lam, seed, smem_arrays,
+                noise=noise, tile_offset=idx * local_tiles,
+            )
+            update, weights, ess = core.combine_partials(
+                costs, stats, numer, lam, axis_name=sample_axis
+            )
+            return costs, update, weights, ess
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, smem_specs, noise_spec),
+            out_specs=(shard, rep, shard, rep),
+            check_vma=False,
+        )(x0, prev_seq, lam, seed, smem_arrays, noise)
+
+    # the facade supplies init / SG filter / prediction / warm-start
+    # semantics around the shard_map'd kernel core
+    facade = make_fused_solver(
+        config, task, dynamics, jit=jit, donate_state=True,
+        interpret=interpret, solve_core=sharded_core,
+    )
+
+    return ShardedFusedSolver(
+        config=config, mesh=mesh, init=facade.init, solve=facade.solve
+    )

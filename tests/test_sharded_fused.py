@@ -1,0 +1,87 @@
+"""Sharded fused solve == single-device fused solve (mesh invariance).
+
+Runs the Pallas kernel in interpret mode per shard on the 8-virtual-CPU
+mesh (tests/conftest.py).  Noise is injected so the comparison is exact up
+to float reduction order; on TPU hardware the in-kernel PRNG is seeded by
+global tile index, so the same invariance holds for the native RNG path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mppi_playground_tpu.core.config import MPPIConfig
+from mppi_playground_tpu.core.fused_solver import make_fused_solver
+from mppi_playground_tpu.parallel import make_mesh
+from mppi_playground_tpu.parallel.sharded import make_sharded_fused_solver
+from tests.test_fused_solve import _toy_aos, _toy_task
+
+HORIZON = 6
+K = 8 * 1024  # one kernel tile per shard on the 8-device mesh
+
+
+def _config():
+    return MPPIConfig(
+        horizon=HORIZON,
+        num_samples=K,
+        dim_state=2,
+        dim_control=1,
+        u_min=(-1.0,),
+        u_max=(1.0,),
+        sigmas=(0.7,),
+        lambda_=0.5,
+        store_rollouts=False,
+    )
+
+
+def _info():
+    return {"target": jnp.ones((HORIZON, 1), jnp.float32) * 2.0}
+
+
+def test_sharded_fused_matches_single_device():
+    cfg = _config()
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_fused_solver(cfg, task, dyn, mesh, jit=True)
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    x0 = jnp.asarray([0.3, -0.1], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(5), (K, HORIZON, 1), jnp.float32) * 0.7
+    )
+    rs = sharded.solve(sharded.init(), x0, info=_info(), noise=noise)
+    r1 = single.solve(single.init(), x0, info=_info(), noise=noise)
+
+    np.testing.assert_allclose(
+        np.asarray(rs.aux.costs), np.asarray(r1.aux.costs), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.action_seq), np.asarray(r1.action_seq), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.aux.weights), np.asarray(r1.aux.weights), atol=1e-6
+    )
+    np.testing.assert_allclose(float(rs.aux.ess), float(r1.aux.ess), rtol=1e-3)
+
+
+def test_sharded_fused_warm_start_chain():
+    """Two chained ticks keep states consistent across the mesh."""
+    cfg = _config()
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_fused_solver(cfg, task, dyn, mesh, jit=True)
+
+    x0 = jnp.zeros(2, jnp.float32)
+    st = sharded.init()
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(9), (K, HORIZON, 1), jnp.float32) * 0.7
+    )
+    for _ in range(2):
+        r = sharded.solve(st, x0, info=_info(), noise=noise)
+        st = r.state
+    a = np.asarray(r.action_seq)
+    assert np.isfinite(a).all()
+    assert (a >= -1.0).all() and (a <= 1.0).all()
