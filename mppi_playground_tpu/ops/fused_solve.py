@@ -74,8 +74,12 @@ class FusedTask:
     smem_builder: Callable[[Dict[str, Any]], Dict[str, jnp.ndarray]]
 
 
-def _normals(shape) -> jnp.ndarray:
-    """Standard normals from the per-core PRNG (Box–Muller)."""
+def _normal_pair(shape):
+    """Two independent standard-normal vregs per Box–Muller transform.
+
+    Using both the cos and sin branches halves the PRNG draws and the
+    log/sqrt transcendentals per normal.
+    """
     # prng_random_bits yields signed int32 vregs; mask to 24 uniform bits
     b1 = pltpu.prng_random_bits(shape) & 0xFFFFFF
     b2 = pltpu.prng_random_bits(shape) & 0xFFFFFF
@@ -83,7 +87,8 @@ def _normals(shape) -> jnp.ndarray:
     u1 = b1.astype(jnp.float32) * (2.0**-24) + (2.0**-25)
     u2 = b2.astype(jnp.float32) * (2.0**-24)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
+    theta = _TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
 def fused_supported() -> bool:
@@ -160,6 +165,12 @@ def make_fused_solve(
         if not noise_mode:
             pltpu.prng_seed(seed_ref[0] + i * _SEED_MIX)
         use_prev = sidx < threshold
+        if not noise_mode:
+            zs = []
+            for _ in range((d_flat + 1) // 2):
+                z1, z2 = _normal_pair((SUBLANES, LANES))
+                zs.append(z1)
+                zs.append(z2)
         pert = []  # [T][m] arrays of [8,128]
         for t in range(horizon):
             row = []
@@ -167,7 +178,7 @@ def make_fused_solve(
                 if noise_mode:
                     z = noise_ref[t * dim_control + j, :, :]
                 else:
-                    z = _normals((SUBLANES, LANES)) * sigmas[j]
+                    z = zs[t * dim_control + j] * sigmas[j]
                 mean = prev_ref[t, j]
                 if threshold >= num_samples:
                     v = mean + z

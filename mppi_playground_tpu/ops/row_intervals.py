@@ -39,15 +39,18 @@ TABLE_ROWS = SUBLANES * LANES  # 1024 table entries per [8, 128] vreg
 class RowIntervalTable:
     """Blocked-interval tables for one occupancy grid.
 
-    ``lo``/``hi`` are ``[M, 8, 128]``: slot ``k`` holds the k-th blocked
+    ``packed`` is ``[M, 8, 128]``: slot ``k`` holds the k-th blocked
     interval ``[lo, hi)`` of row ``ix`` at sublane ``ix >> 7``, lane
-    ``ix & 127``.  Unused slots are ``lo=hi=width`` (empty).  Rows beyond
+    ``ix & 127``.  Unused slots are ``lo=hi=height`` (empty).  Rows beyond
     the grid (table padding) are fully blocked, matching the out-of-bounds
     cost of 1.0.
     """
 
-    lo: jax.Array
-    hi: jax.Array
+    # Each slot packs one interval as lo * 2048 + hi — a single exact-f32
+    # integer (< 2^24 for grids up to 2048 cells high / 8191 wide), so a
+    # full interval costs ONE table lookup + a cheap floor/fma unpack
+    # instead of two lookups.
+    packed: jax.Array
     # origin/cell_size are static so in-kernel uses are scalar literals
     origin: tuple = dataclasses.field(metadata=dict(static=True))
     cell_size: float = dataclasses.field(metadata=dict(static=True))
@@ -56,7 +59,7 @@ class RowIntervalTable:
 
     @property
     def max_intervals(self) -> int:
-        return self.lo.shape[0]
+        return self.packed.shape[0]
 
 
 def build_row_interval_table(
@@ -78,6 +81,7 @@ def build_row_interval_table(
         rows.append((starts, ends))
         max_m = max(max_m, len(starts))
 
+    assert h < 2048 and w < 8192, "packed interval encoding limits"
     n_table_rows = -(-w // TABLE_ROWS) * TABLE_ROWS
     lo = np.full((max_m, n_table_rows), float(h))
     hi = np.full((max_m, n_table_rows), float(h))
@@ -88,10 +92,11 @@ def build_row_interval_table(
     lo[0, w:] = 0.0
     hi[0, w:] = float(h)
 
+    packed = lo * 2048.0 + hi
+    assert packed.max() < 2**24  # exact in f32
     shape = (max_m, n_table_rows // LANES, LANES)
     return RowIntervalTable(
-        lo=jnp.asarray(lo.reshape(shape), dtype),
-        hi=jnp.asarray(hi.reshape(shape), dtype),
+        packed=jnp.asarray(packed.reshape(shape), dtype),
         origin=(float(origin[0]), float(origin[1])),
         cell_size=float(cell_size),
         width=int(w),
@@ -149,10 +154,11 @@ def interval_query(
     group = ixi >> 7
     lane = ixi & (LANES - 1)
 
-    blocked = jnp.zeros(px.shape, bool)
+    blocked = jnp.zeros(ix.shape, bool)
     for k in range(table.max_intervals):
-        lo_k = _row_lookup(table.lo[k], group, lane)
-        hi_k = _row_lookup(table.hi[k], group, lane)
+        p = _row_lookup(table.packed[k], group, lane)
+        lo_k = jnp.floor(p * (1.0 / 2048.0))
+        hi_k = p - lo_k * 2048.0
         blocked = blocked | ((iy >= lo_k) & (iy < hi_k))
 
     one = jnp.asarray(1.0, px.dtype)
