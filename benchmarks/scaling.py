@@ -1,0 +1,121 @@
+"""Sample-axis scaling-efficiency harness (BASELINE.md target: >=85%).
+
+Measures solves/s of the sharded solve at 1, 2, ..., N sample-axis shards
+on whatever devices exist and reports efficiency vs linear scaling of the
+1-shard throughput.  On a multi-chip TPU slice this produces the real
+scaling numbers; on a single chip / CPU it validates the harness and the
+sharded program end-to-end on a virtual mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``).
+
+MPPI's cross-shard traffic is one scalar pmax + O(T*m) psums per solve
+(see parallel/sharded.py), so efficiency should track the per-shard
+kernel-time fraction, not bandwidth.
+
+Run:  python benchmarks/scaling.py [--samples 98304] [--horizon 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=None)
+    ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument(
+        "--cpu", type=int, default=0,
+        help="run on N virtual CPU devices (harness validation without a "
+        "multi-chip slice); the image's sitecustomize force-registers the "
+        "TPU plugin, so the platform must be re-overridden here",
+    )
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.models import bicycle
+    from mppi_playground_tpu.ops.fused_solve import TILE, FusedTask, fused_supported
+    from mppi_playground_tpu.parallel import make_mesh, make_sharded_fused_solver
+
+    n_devices = jax.device_count()
+    shard_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_devices]
+    # whole tiles per shard at the largest shard count
+    k = args.samples or TILE * 96
+    assert k % (TILE * shard_counts[-1]) == 0
+
+    dynamics = bicycle.make_dynamics(x_lim=(-40.0, 40.0), y_lim=(-40.0, 40.0))
+    task = FusedTask(
+        dynamics_soa=bicycle.make_dynamics_soa(
+            x_lim=(-40.0, 40.0), y_lim=(-40.0, 40.0)
+        ),
+        stage_cost_soa=lambda xs, us, ctx: (xs[3] - 5.0) ** 2
+        + 0.1 * (us[0] ** 2 + us[1] ** 2),
+        vmem_args={},
+        smem_builder=lambda info: {},
+    )
+    config = MPPIConfig(
+        horizon=args.horizon, num_samples=k, dim_state=4, dim_control=2,
+        u_min=bicycle.U_MIN, u_max=bicycle.U_MAX, sigmas=(0.5, 0.1),
+        lambda_=1.0, store_rollouts=False,
+    )
+
+    # injected noise when the in-kernel PRNG is unavailable (CPU interpret)
+    noise = None
+    if not fused_supported():
+        noise = jax.random.normal(
+            jax.random.PRNGKey(0), (k, args.horizon, 2), jnp.float32
+        ) * jnp.asarray([0.5, 0.1])
+
+    base_rate = None
+    for n in shard_counts:
+        mesh = make_mesh(mesh_shape=(1, n), devices=jax.devices()[:n])
+        solver = make_sharded_fused_solver(config, task, dynamics, mesh)
+        st = solver.init()
+        x0 = jnp.zeros(4)
+        r = None
+        for _ in range(WARMUP):
+            r = solver.solve(st, x0, noise=noise)
+            st = r.state
+        jax.block_until_ready(r.action_seq)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            r = solver.solve(st, x0, noise=noise)
+            st = r.state
+        jax.block_until_ready(r.action_seq)
+        rate = ITERS / (time.perf_counter() - t0)
+        if base_rate is None:
+            base_rate = rate
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_solves_per_s_shards{n}",
+                    "value": round(rate, 3),
+                    "unit": "solves/s",
+                    "extra": {
+                        "efficiency_vs_linear": round(rate / (base_rate * n), 4)
+                        if n > 1
+                        else 1.0,
+                        "samples": k,
+                        "device": str(jax.devices()[0]),
+                    },
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
