@@ -27,9 +27,8 @@ ITERS = 30
 def _time_tick(tick, *args):
     out = None
     state = args
-    for _ in range(WARMUP):
+    for _ in range(WARMUP):  # stateless timing: same inputs every call
         out = tick(*state)
-        state = (out[1], *state[1:]) if False else state  # stateless timing
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):

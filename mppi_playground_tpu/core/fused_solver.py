@@ -4,7 +4,9 @@ Produces the same ``MPPISolver`` bundle as ``core/solver.make_solver`` —
 identical ``MPPIState`` pytree, ``SolveResult``/``SolveAux`` outputs,
 warm-start and Savitzky–Golay semantics (mppi.py:223-460) — with the
 sample/rollout/cost/weighting body executed by the single fused TPU
-kernel instead of the XLA scan pipeline.
+kernel instead of the XLA scan pipeline.  Init, nominal re-roll, and the
+smoothing/warm-start epilogue are the *same functions* as the XLA path
+(``core/solver.py`` helpers), so the two facades cannot drift.
 
 Scope (asserted): fixed lambda, f32, no rollout storage,
 ``horizon * dim_control <= 128``.  Configs outside this envelope (auto-
@@ -21,8 +23,15 @@ import jax
 import jax.numpy as jnp
 
 from mppi_playground_tpu.core.config import MPPIConfig, MPPIState
-from mppi_playground_tpu.core.sg_filter import apply_sg_filter, savitzky_golay_coeffs
-from mppi_playground_tpu.core.solver import MPPISolver, SolveAux, SolveResult
+from mppi_playground_tpu.core.sg_filter import savitzky_golay_coeffs
+from mppi_playground_tpu.core.solver import (
+    MPPISolver,
+    SolveAux,
+    SolveResult,
+    make_init,
+    make_states_prediction,
+    smooth_predict_advance,
+)
 from mppi_playground_tpu.ops.fused_solve import FusedTask, make_fused_solve
 
 
@@ -51,9 +60,6 @@ def make_fused_solver(
     assert not config.store_rollouts, "fused path does not store rollouts"
 
     dtype = config.dtype
-    horizon = config.horizon
-    dim_control = config.dim_control
-    dim_state = config.dim_state
 
     if solve_core is None:
         solve_core = make_fused_solve(config, task, interpret=interpret)
@@ -61,30 +67,8 @@ def make_fused_solver(
         savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order), dtype
     )
 
-    def init(seed: Optional[int] = None, key: Optional[jax.Array] = None) -> MPPIState:
-        if key is None:
-            key = jax.random.PRNGKey(config.seed if seed is None else seed)
-        return MPPIState(
-            key=key,
-            previous_action_seq=jnp.zeros((horizon, dim_control), dtype),
-            sg_history=jnp.zeros((max(horizon - 1, 0), dim_control), dtype),
-            lam=jnp.asarray(config.initial_lambda, dtype),
-            mpo_log_temperature=jnp.zeros((), dtype),
-            mpo_opt_state=(),
-        )
-
-    def states_prediction(x0: jnp.ndarray, action_seqs: jnp.ndarray) -> jnp.ndarray:
-        batch = action_seqs.shape[0]
-        x0_b = jnp.broadcast_to(x0.astype(dtype), (batch, dim_state))
-
-        def step(x, u):
-            x_next = dynamics(x, u)
-            return x_next, x_next
-
-        _, stacked = jax.lax.scan(step, x0_b, jnp.swapaxes(action_seqs, 0, 1))
-        return jnp.concatenate(
-            [x0_b[:, None], jnp.swapaxes(stacked, 0, 1)], axis=1
-        )
+    init = make_init(config)
+    states_prediction = make_states_prediction(config, dynamics)
 
     def solve(
         state: MPPIState,
@@ -103,20 +87,11 @@ def make_fused_solver(
             x0, state.previous_action_seq, state.lam, seed, smem_arrays, noise
         )
 
-        optimal_action_seq = update
-        if config.use_sg_filter:
-            optimal_action_seq = apply_sg_filter(
-                optimal_action_seq, state.sg_history, sg_coeffs
+        optimal_action_seq, optimal_state_seq, new_sg_history = (
+            smooth_predict_advance(
+                config, sg_coeffs, states_prediction, state, x0, update
             )
-
-        optimal_state_seq = states_prediction(x0, optimal_action_seq[None])[0]
-
-        if horizon > 1:
-            new_sg_history = jnp.concatenate(
-                [state.sg_history[1:], optimal_action_seq[:1]], axis=0
-            )
-        else:
-            new_sg_history = state.sg_history
+        )
 
         new_state = MPPIState(
             key=key,

@@ -149,6 +149,82 @@ def _rollout_and_costs(
     return total, states
 
 
+def make_init(config: MPPIConfig, mpo_optimizer=None):
+    """Fresh-state factory shared by the XLA and fused solver facades.
+
+    Zero warm start, like mppi.py:157,163-165,212-221.
+    """
+    dtype = config.dtype
+
+    def init(seed: Optional[int] = None, key: Optional[jax.Array] = None) -> MPPIState:
+        if key is None:
+            key = jax.random.PRNGKey(config.seed if seed is None else seed)
+        if mpo_optimizer is not None:
+            log_t = jnp.log(jnp.asarray([config.initial_lambda], dtype))[0]
+            opt_state = mpo_optimizer.init(log_t)
+        else:
+            log_t = jnp.zeros((), dtype)
+            opt_state = ()
+        return MPPIState(
+            key=key,
+            previous_action_seq=jnp.zeros((config.horizon, config.dim_control), dtype),
+            sg_history=jnp.zeros(
+                (max(config.horizon - 1, 0), config.dim_control), dtype
+            ),
+            lam=jnp.asarray(config.initial_lambda, dtype),
+            mpo_log_temperature=log_t,
+            mpo_opt_state=opt_state,
+        )
+
+    return init
+
+
+def make_states_prediction(config: MPPIConfig, dynamics: Dynamics):
+    """Nominal-trajectory re-roll factory (mppi.py:508-524), shared."""
+    dtype = config.dtype
+    dim_state = config.dim_state
+
+    def states_prediction(x0: jnp.ndarray, action_seqs: jnp.ndarray) -> jnp.ndarray:
+        """Roll ``action_seqs [B, T, m]`` from ``x0 [n]``."""
+        batch = action_seqs.shape[0]
+        x0_b = jnp.broadcast_to(x0.astype(dtype), (batch, dim_state))
+
+        def step(x, u):
+            x_next = dynamics(x, u)
+            return x_next, x_next
+
+        _, stacked = lax.scan(step, x0_b, jnp.swapaxes(action_seqs, 0, 1))
+        return jnp.concatenate([x0_b[:, None], jnp.swapaxes(stacked, 0, 1)], axis=1)
+
+    return states_prediction
+
+
+def smooth_predict_advance(
+    config: MPPIConfig,
+    sg_coeffs: jnp.ndarray,
+    states_prediction,
+    state: MPPIState,
+    x0: jnp.ndarray,
+    optimal_action_seq: jnp.ndarray,
+):
+    """Shared solve epilogue: SG filter, nominal re-roll, SG-history shift.
+
+    Mirrors mppi.py:423-458; returns (action_seq, state_seq, new_sg_history).
+    """
+    if config.use_sg_filter:
+        optimal_action_seq = apply_sg_filter(
+            optimal_action_seq, state.sg_history, sg_coeffs
+        )
+    optimal_state_seq = states_prediction(x0, optimal_action_seq[None])[0]
+    if config.horizon > 1:
+        new_sg_history = jnp.concatenate(
+            [state.sg_history[1:], optimal_action_seq[:1]], axis=0
+        )
+    else:
+        new_sg_history = state.sg_history
+    return optimal_action_seq, optimal_state_seq, new_sg_history
+
+
 def make_solver(
     config: MPPIConfig,
     dynamics: Dynamics,
@@ -174,38 +250,8 @@ def make_solver(
     auto = config.auto_lambda
     mpo_optimizer = autolambda.make_mpo_optimizer() if auto == "MPO" else None
 
-    # ------------------------------------------------------------------
-    def init(seed: Optional[int] = None, key: Optional[jax.Array] = None) -> MPPIState:
-        """Fresh solver state (zero warm start, like mppi.py:157,163-165,212-221)."""
-        if key is None:
-            key = jax.random.PRNGKey(config.seed if seed is None else seed)
-        if auto == "MPO":
-            log_t = jnp.log(jnp.asarray([config.initial_lambda], dtype))[0]
-            opt_state = mpo_optimizer.init(log_t)
-        else:
-            log_t = jnp.zeros((), dtype)
-            opt_state = ()
-        return MPPIState(
-            key=key,
-            previous_action_seq=jnp.zeros((horizon, dim_control), dtype),
-            sg_history=jnp.zeros((max(horizon - 1, 0), dim_control), dtype),
-            lam=jnp.asarray(config.initial_lambda, dtype),
-            mpo_log_temperature=log_t,
-            mpo_opt_state=opt_state,
-        )
-
-    # ------------------------------------------------------------------
-    def states_prediction(x0: jnp.ndarray, action_seqs: jnp.ndarray) -> jnp.ndarray:
-        """Roll ``action_seqs [B, T, m]`` from ``x0 [n]`` (mppi.py:508-524)."""
-        batch = action_seqs.shape[0]
-        x0_b = jnp.broadcast_to(x0.astype(dtype), (batch, dim_state))
-
-        def step(x, u):
-            x_next = dynamics(x, u)
-            return x_next, x_next
-
-        _, stacked = lax.scan(step, x0_b, jnp.swapaxes(action_seqs, 0, 1))
-        return jnp.concatenate([x0_b[:, None], jnp.swapaxes(stacked, 0, 1)], axis=1)
+    init = make_init(config, mpo_optimizer)
+    states_prediction = make_states_prediction(config, dynamics)
 
     # ------------------------------------------------------------------
     def solve(
@@ -285,21 +331,14 @@ def make_solver(
             new_log_t = state.mpo_log_temperature
             new_opt_state = state.mpo_opt_state
 
-        # --- Step 7: Savitzky-Golay smoothing (mppi.py:423-443) ---
-        if config.use_sg_filter:
-            optimal_action_seq = apply_sg_filter(
-                optimal_action_seq, state.sg_history, sg_coeffs
+        # --- Steps 7+8: SG smoothing, nominal re-roll, warm start
+        # (mppi.py:423-458; shared with the fused facade) ---
+        optimal_action_seq, optimal_state_seq, new_sg_history = (
+            smooth_predict_advance(
+                config, sg_coeffs, states_prediction, state, x0,
+                optimal_action_seq,
             )
-
-        # --- Step 8: predict nominal trajectory + warm start (mppi.py:446-458)
-        optimal_state_seq = states_prediction(x0, optimal_action_seq[None])[0]
-
-        if horizon > 1:
-            new_sg_history = jnp.concatenate(
-                [state.sg_history[1:], optimal_action_seq[:1]], axis=0
-            )
-        else:
-            new_sg_history = state.sg_history
+        )
 
         new_state = MPPIState(
             key=key,

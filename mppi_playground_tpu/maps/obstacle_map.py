@@ -94,6 +94,7 @@ class ObstacleMap:
         self.circle_obs_list.append(CircleObstacle(np.asarray(center, float), radius))
         self._device_map = None
         self._feature_map_built = False
+        self._row_interval_table = None
 
     def add_rectangle_obstacle(
         self, center: np.ndarray, width: float, height: float
@@ -115,6 +116,7 @@ class ObstacleMap:
         )
         self._device_map = None
         self._feature_map_built = False
+        self._row_interval_table = None
 
     # ------------------------------------------------------------------
     @property

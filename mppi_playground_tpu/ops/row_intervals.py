@@ -25,9 +25,9 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 LANES = 128
 SUBLANES = 8
@@ -143,9 +143,10 @@ def interval_query(
         px = px.reshape(-1, LANES)
         py = py.reshape(-1, LANES)
 
-    inv = 1.0 / table.cell_size
-    ix = jnp.round(px * inv + table.origin[0])
-    iy = jnp.round(py * inv + table.origin[1])
+    # Divide (not multiply-by-reciprocal): the reference and grid_cost use
+    # x / cell_size, and the f32 results differ at cell boundaries.
+    ix = jnp.round(px / table.cell_size + table.origin[0])
+    iy = jnp.round(py / table.cell_size + table.origin[1])
     oob = (ix < 0) | (ix >= table.width) | (iy < 0) | (iy >= table.height)
     ix = jnp.clip(ix, 0.0, float(table.width - 1))
     iy = jnp.clip(iy, 0.0, float(table.height - 1))

@@ -8,20 +8,20 @@ effects, which the weighting exponentially amplifies on near-tied samples,
 hence the modest action tolerance (costs themselves are tight).
 """
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from mppi_playground_tpu.core.config import MPPIConfig
 from mppi_playground_tpu.core.fused_solver import make_fused_solver
 from mppi_playground_tpu.core.solver import make_solver
+from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
 from mppi_playground_tpu.ops.fused_solve import FusedTask
 from mppi_playground_tpu.ops.row_intervals import (
     build_row_interval_table,
     interval_query,
 )
-from mppi_playground_tpu.maps.grid_cost import GridMapData, grid_cost
 
 K = 2048
 HORIZON = 8
@@ -201,8 +201,29 @@ def test_row_interval_query_matches_grid():
     )
     table = build_row_interval_table(grid, origin, 0.1)
     pts = jax.random.uniform(jax.random.PRNGKey(1), (4096, 2), jnp.float32, -12, 12)
+    # cell-boundary points: f32 x/cell vs x*(1/cell) round to DIFFERENT
+    # cells for some of these (e.g. -4.95 at cell 0.1) — the query must use
+    # the same division as grid_cost to stay bit-exact
+    half_cells = jnp.linspace(-10.05, 10.05, 202, dtype=jnp.float32)
+    boundary = jnp.stack(
+        jnp.meshgrid(half_cells[:64], half_cells[:64]), axis=-1
+    ).reshape(-1, 2)
+    pts = jnp.concatenate([pts, boundary], axis=0)
     a = np.asarray(jax.jit(lambda p: grid_cost(gm, p))(pts))
     b = np.asarray(
         jax.jit(lambda p: interval_query(table, p[:, 0], p[:, 1]))(pts)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_row_interval_table_invalidated_on_obstacle_add():
+    """Map mutation must rebuild the interval table (stale-cache bug)."""
+    from mppi_playground_tpu.maps.obstacle_map import ObstacleMap
+
+    om = ObstacleMap(map_size=(20, 20), cell_size=0.1)
+    t0 = om.row_interval_table
+    assert float(interval_query(t0, jnp.asarray([5.0]), jnp.asarray([5.0]))[0]) == 0.0
+    om.add_circle_obstacle(np.array([5.0, 5.0]), 1.0)
+    t1 = om.row_interval_table
+    assert t1 is not t0
+    assert float(interval_query(t1, jnp.asarray([5.0]), jnp.asarray([5.0]))[0]) == 1.0

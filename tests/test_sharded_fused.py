@@ -6,9 +6,9 @@ to float reduction order; on TPU hardware the in-kernel PRNG is seeded by
 global tile index, so the same invariance holds for the native RNG path.
 """
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mppi_playground_tpu.core.config import MPPIConfig
 from mppi_playground_tpu.core.fused_solver import make_fused_solver
