@@ -8,10 +8,16 @@ kernel instead of the XLA scan pipeline.  Init, nominal re-roll, and the
 smoothing/warm-start epilogue are the *same functions* as the XLA path
 (``core/solver.py`` helpers), so the two facades cannot drift.
 
-Scope (asserted): fixed lambda, f32, no rollout storage,
-``horizon * dim_control <= 128``.  Configs outside this envelope (auto-
-lambda, diagnostics that need per-sample trajectories) use the XLA path;
-the two are numerically equivalent given the same noise
+Auto-lambda runs fused too: MPO weights with the current lambda (single
+kernel pass + an optax step on the costs); LBPS/ESSPS solve lambda from
+the phase-1 costs on device, then a second ``weighted_only`` kernel pass
+regenerates the perturbations from the same per-tile seeds and weights
+them at the final lambda — recompute instead of materializing [K, T, m].
+
+Scope (asserted): f32, no rollout storage, ``horizon * dim_control <=
+128``; the sharded core override additionally requires fixed lambda.
+Diagnostics that need per-sample trajectories use the XLA path; the two
+are numerically equivalent given the same noise
 (tests/test_fused_solve.py).
 """
 
@@ -22,6 +28,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from mppi_playground_tpu.core import autolambda
 from mppi_playground_tpu.core.config import MPPIConfig, MPPIState
 from mppi_playground_tpu.core.sg_filter import savitzky_golay_coeffs
 from mppi_playground_tpu.core.solver import (
@@ -56,10 +63,16 @@ def make_fused_solver(
             shard_map'd core; same signature/returns as
             ``ops.fused_solve.make_fused_solve``'s result.
     """
-    assert config.auto_lambda is None, "fused path requires fixed lambda"
     assert not config.store_rollouts, "fused path does not store rollouts"
+    auto = config.auto_lambda
+    if solve_core is not None:
+        # sharded core override: auto-lambda needs the two-phase kernel
+        # split (run_kernel + run_weighted), which the shard_map'd core
+        # does not expose yet
+        assert auto is None, "sharded fused path requires fixed lambda"
 
     dtype = config.dtype
+    mpo_optimizer = autolambda.make_mpo_optimizer() if auto == "MPO" else None
 
     if solve_core is None:
         solve_core = make_fused_solve(config, task, interpret=interpret)
@@ -67,7 +80,7 @@ def make_fused_solver(
         savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order), dtype
     )
 
-    init = make_init(config)
+    init = make_init(config, mpo_optimizer)
     states_prediction = make_states_prediction(config, dynamics)
 
     def solve(
@@ -83,9 +96,48 @@ def make_fused_solver(
         seed = jax.random.randint(noise_key, (), 0, jnp.iinfo(jnp.int32).max)
 
         smem_arrays = task.smem_builder(user_info)
-        costs, update, weights, ess = solve_core(
-            x0, state.previous_action_seq, state.lam, seed, smem_arrays, noise
-        )
+        if auto in ("LBPS", "ESSPS"):
+            # Two-phase auto-lambda (mppi.py:341-370, on device): the full
+            # kernel produces lambda-independent costs; lambda is solved
+            # from them; a second pass regenerates the perturbations from
+            # the same seeds and weights them at the final lambda.
+            costs, _, _ = solve_core.run_kernel(
+                x0, state.previous_action_seq, state.lam, seed, smem_arrays,
+                noise,
+            )
+            if auto == "LBPS":
+                lam = autolambda.lbps_lambda(
+                    costs, config.lbps_delta, config.lambda_min,
+                    config.lambda_max, iters=config.lbps_iters,
+                )
+            else:
+                lam = autolambda.essps_lambda(
+                    costs, config.target_ess, config.lambda_min,
+                    config.lambda_max, iters=config.essps_iters,
+                )
+            stats, numer = solve_core.run_weighted(
+                state.previous_action_seq, lam, seed, costs, noise
+            )
+            update, weights, ess = solve_core.combine_partials(
+                costs, stats, numer, lam
+            )
+        else:
+            # fixed lambda and MPO both weight with the current lambda
+            # (mppi.py:374-385; MPO adapts it *after* the update)
+            lam = state.lam
+            costs, update, weights, ess = solve_core(
+                x0, state.previous_action_seq, lam, seed, smem_arrays, noise
+            )
+
+        if auto == "MPO":
+            new_lam, new_log_t, new_opt_state = autolambda.mpo_step(
+                costs, state.mpo_log_temperature, state.mpo_opt_state,
+                mpo_optimizer,
+            )
+        else:
+            new_lam = lam
+            new_log_t = state.mpo_log_temperature
+            new_opt_state = state.mpo_opt_state
 
         optimal_action_seq, optimal_state_seq, new_sg_history = (
             smooth_predict_advance(
@@ -97,12 +149,12 @@ def make_fused_solver(
             key=key,
             previous_action_seq=optimal_action_seq,
             sg_history=new_sg_history,
-            lam=state.lam,
-            mpo_log_temperature=state.mpo_log_temperature,
-            mpo_opt_state=state.mpo_opt_state,
+            lam=new_lam.astype(dtype) if auto else state.lam,
+            mpo_log_temperature=new_log_t,
+            mpo_opt_state=new_opt_state,
         )
         aux = SolveAux(
-            costs=costs, weights=weights, lam=state.lam, ess=ess,
+            costs=costs, weights=weights, lam=lam, ess=ess,
             state_seq_batch=None,
         )
         return SolveResult(optimal_action_seq, optimal_state_seq, new_state, aux)

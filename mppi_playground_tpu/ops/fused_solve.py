@@ -23,10 +23,12 @@ tiny XLA epilogue merges the tile partials (flash-attention-style
 rescaling) into the update, weights and ESS.  HBM traffic per solve drops
 from ~200 MB to ~0.5 MB.
 
-Constraints of the fused path (asserted at build): fixed lambda, f32,
-``horizon * dim_control <= 128``; auto-lambda / rollout-storing configs
-use the XLA path.  A noise-injection variant (``noise=...``) exists for
-equivalence tests against the XLA solver.
+Constraints of the fused path (asserted at build): f32,
+``horizon * dim_control <= 128``, no rollout storage.  Auto-lambda
+(LBPS/ESSPS) uses a two-phase split: phase 1 produces costs, lambda is
+solved on device, and a ``weighted_only`` second pass regenerates the
+perturbations from the same seeds.  A noise-injection variant
+(``noise=...``) exists for equivalence tests against the XLA solver.
 """
 
 from __future__ import annotations
@@ -141,21 +143,38 @@ def make_fused_solve(
     smem_template = None  # resolved on first call; key order must be stable
 
     def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
-               noise_mode: bool, smem_keys: Tuple[str, ...]):
-        n_vmem = len(vmem_leaves)
-        n_smem = len(smem_keys)
-        vmem_refs = refs[:n_vmem]
-        smem_refs = dict(zip(smem_keys, refs[n_vmem : n_vmem + n_smem]))
-        idx = n_vmem + n_smem
+               noise_mode: bool, smem_keys: Tuple[str, ...],
+               weighted_only: bool = False):
+        # ``weighted_only`` is the auto-lambda second phase: costs are an
+        # input (computed by the full kernel at a provisional lambda), the
+        # rollout is skipped, and the perturbations are *regenerated* from
+        # the same per-tile seeds — recompute instead of materializing the
+        # [K, T, m] tensor in HBM.
+        if weighted_only:
+            vmem_refs = ()
+            smem_refs = {}
+            idx = 0
+        else:
+            n_vmem = len(vmem_leaves)
+            vmem_refs = refs[:n_vmem]
+            smem_refs = dict(zip(smem_keys, refs[n_vmem : n_vmem + len(smem_keys)]))
+            idx = n_vmem + len(smem_keys)
         noise_ref = refs[idx] if noise_mode else None
         idx += 1 if noise_mode else 0
-        costs_ref, stats_ref, numer_ref = refs[idx : idx + 3]
+        if weighted_only:
+            costs_in_ref = refs[idx]
+            stats_ref, numer_ref = refs[idx + 1 : idx + 3]
+        else:
+            costs_ref, stats_ref, numer_ref = refs[idx : idx + 3]
 
         # Global tile id: offset_ref carries this shard's first tile under
         # sample-axis sharding, making the PRNG stream (and hence results)
         # invariant to the mesh shape (SURVEY.md §7 hard part #6).
         i = offset_ref[0] + pl.program_id(0)
-        vmem_vals = vmem_treedef.unflatten([r[:] for r in vmem_refs])
+        vmem_vals = (
+            None if weighted_only
+            else vmem_treedef.unflatten([r[:] for r in vmem_refs])
+        )
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
@@ -189,45 +208,49 @@ def make_fused_solve(
                 row.append(jnp.clip(v, u_min[j], u_max[j]))
             pert.append(row)
 
-        # --- fused rollout + stage costs (mppi.py:280-336) ---
-        x0 = tuple(
-            jnp.full((SUBLANES, LANES), x0_ref[c], jnp.float32)
-            for c in range(dim_state)
-        )
-        xs = x0
-        xs_prev = x0
-        acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        for t in range(horizon):
+        if weighted_only:
+            acc = costs_in_ref[:, :]
+        else:
+            # --- fused rollout + stage costs (mppi.py:280-336) ---
+            x0 = tuple(
+                jnp.full((SUBLANES, LANES), x0_ref[c], jnp.float32)
+                for c in range(dim_state)
+            )
+            xs = x0
+            xs_prev = x0
+            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            for t in range(horizon):
+                ctx = dict(
+                    t=t,
+                    prev_xs=xs_prev,
+                    prev_us=tuple(pert[max(t - 1, 0)]),
+                    x0=x0,
+                    vmem=vmem_vals,
+                    smem=smem_refs,
+                )
+                acc = acc + task.stage_cost_soa(xs, tuple(pert[t]), ctx)
+                xs_prev = xs
+                xs = task.dynamics_soa(xs, tuple(pert[t]))
+
+            # terminal cost: zero action, prev_state = second-to-last state,
+            # t / prev_action keep their last stage values (mppi.py:318-328)
+            zeros_u = tuple(
+                jnp.zeros((SUBLANES, LANES), jnp.float32)
+                for _ in range(dim_control)
+            )
             ctx = dict(
-                t=t,
+                t=horizon - 1,
                 prev_xs=xs_prev,
-                prev_us=tuple(pert[max(t - 1, 0)]),
+                prev_us=tuple(pert[max(horizon - 2, 0)]),
                 x0=x0,
                 vmem=vmem_vals,
                 smem=smem_refs,
             )
-            acc = acc + task.stage_cost_soa(xs, tuple(pert[t]), ctx)
-            xs_prev = xs
-            xs = task.dynamics_soa(xs, tuple(pert[t]))
+            acc = acc + task.stage_cost_soa(xs, zeros_u, ctx)
 
-        # terminal cost: zero action, prev_state = second-to-last state,
-        # t / prev_action keep their last stage values (mppi.py:318-328)
-        zeros_u = tuple(
-            jnp.zeros((SUBLANES, LANES), jnp.float32) for _ in range(dim_control)
-        )
-        ctx = dict(
-            t=horizon - 1,
-            prev_xs=xs_prev,
-            prev_us=tuple(pert[max(horizon - 2, 0)]),
-            x0=x0,
-            vmem=vmem_vals,
-            smem=smem_refs,
-        )
-        acc = acc + task.stage_cost_soa(xs, zeros_u, ctx)
-
-        if k_pad > num_local:  # padding samples never win the softmin
-            acc = jnp.where(sidx < num_samples, acc, 1e30)
-        costs_ref[:, :] = acc
+            if k_pad > num_local:  # padding samples never win the softmin
+                acc = jnp.where(sidx < num_samples, acc, 1e30)
+            costs_ref[:, :] = acc
 
         # --- tile-local softmin partials (mppi.py:374-385, 526-532) ---
         lam = lam_ref[0]
@@ -333,6 +356,83 @@ def make_fused_solve(
         costs = costs2d.reshape(k_pad)[:num_local]
         return costs, stats[:, 0, :], numer[:, 0, :]
 
+    def run_weighted(
+        prev_action_seq: jnp.ndarray,
+        lam: jnp.ndarray,
+        seed: jnp.ndarray,
+        costs: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+        tile_offset=0,
+    ):
+        """Auto-lambda phase 2: (stats, numer) partials at the final lambda.
+
+        Regenerates the perturbations from the same per-tile seeds (or the
+        same injected noise) as the phase-1 rollout — the [K, T, m] tensor
+        is recomputed in-register, never stored.
+        """
+        smem_keys: Tuple[str, ...] = ()
+        noise_mode = noise is not None
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 placeholder [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # prev [T, m]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lam [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile offset [1]
+        ]
+        args = [
+            jnp.zeros((1,), jnp.float32),
+            jnp.asarray(prev_action_seq, jnp.float32),
+            jnp.asarray(lam, jnp.float32).reshape(1),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(tile_offset, jnp.int32).reshape(1),
+        ]
+        if noise_mode:
+            nz = jnp.asarray(noise, jnp.float32).reshape(num_local, d_flat)
+            nz = jnp.concatenate(
+                [nz, jnp.zeros((k_pad - num_local, d_flat), jnp.float32)]
+            ) if k_pad > num_local else nz
+            nz = nz.T.reshape(d_flat, k_pad // LANES, LANES)
+            in_specs.append(
+                pl.BlockSpec(
+                    (d_flat, SUBLANES, LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(nz)
+        # padded cost entries must lose the softmin
+        costs_pad = jnp.full(k_pad, 1e30, jnp.float32).at[:num_local].set(costs)
+        in_specs.append(
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(costs_pad.reshape(k_pad // LANES, LANES))
+
+        out_shape = [
+            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        stats, numer = pl.pallas_call(
+            functools.partial(
+                kernel, noise_mode=noise_mode, smem_keys=smem_keys,
+                weighted_only=True,
+            ),
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+        return stats[:, 0, :], numer[:, 0, :]
+
     def combine_partials(costs, stats, numer, lam, axis_name: Optional[str] = None):
         """Merge tile partials into (update, weights, ess).
 
@@ -373,5 +473,6 @@ def make_fused_solve(
         return costs, update, weights, ess
 
     solve_core.run_kernel = run_kernel
+    solve_core.run_weighted = run_weighted
     solve_core.combine_partials = combine_partials
     return solve_core

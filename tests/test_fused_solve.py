@@ -173,6 +173,43 @@ def test_fused_kernel_rng_statistics():
     assert float(r.aux.ess) > 0.5 * K
 
 
+@pytest.mark.parametrize("mode", ["ESSPS", "LBPS", "MPO"])
+def test_fused_auto_lambda_matches_xla(mode):
+    """Two-phase fused auto-lambda == XLA auto-lambda at the same noise."""
+    cfg = _config(lambda_=mode)
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.asarray([0.2, 0.1], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(13), (K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    st_f, st_x = fused.init(), xla.init()
+    for _ in range(2):  # exercise the lambda carried across ticks
+        rf = fused.solve(st_f, x0, info=_info(), noise=noise)
+        rx = xla.solve(st_x, x0, info=_info(), noise=noise)
+        st_f, st_x = rf.state, rx.state
+    # second-tick costs inherit the first tick's ~1e-3 action drift
+    # (f32 reduction order), hence the looser tolerance than one-shot tests
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.costs), np.asarray(rx.aux.costs), rtol=1e-3
+    )
+    # LBPS's golden-section objective is flat near the optimum, so the
+    # inherited ~1e-5 cost drift can move lambda by ~0.3% with negligible
+    # effect on the weights
+    np.testing.assert_allclose(
+        float(rf.aux.lam), float(rx.aux.lam), rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        float(st_f.lam), float(st_x.lam), rtol=1e-2
+    )
+
+
 def test_fused_sg_filter_matches():
     cfg = _config(use_sg_filter=True, sg_window_size=5, sg_poly_order=3)
     task = _toy_task()
