@@ -11,6 +11,12 @@ import time
 
 import jax.numpy as jnp
 
+import os
+import sys
+
+# allow running directly from a source checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from mppi_playground_tpu import MPPI
 from mppi_playground_tpu.envs import Navigation2DEnv
 

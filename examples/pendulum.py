@@ -13,12 +13,19 @@ import time
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
+# allow running directly from a source checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from mppi_playground_tpu import MPPI
 from mppi_playground_tpu.models import pendulum
 from mppi_playground_tpu.utils.angles import angle_normalize
 
 
-def main(save_mode: bool = False, steps: int = 200, use_gym: bool = True):
+def main(save_mode: bool = False, steps: int = 200, use_gym: bool = True,
+         fused: bool = False):
     env = None
     if use_gym:
         try:
@@ -45,6 +52,9 @@ def main(save_mode: bool = False, steps: int = 200, use_gym: bool = True):
         u_max=jnp.asarray([2.0]),
         sigmas=jnp.asarray([1.0]),
         lambda_="ESSPS",
+        # --fused: one Pallas kernel per tick (TPU only; falls back to XLA)
+        store_rollouts=not fused,
+        fused_task=pendulum.fused_task() if fused else None,
     )
 
     state = np.array([np.pi, 0.0]) if env is None else env.unwrapped.state.copy()
@@ -77,5 +87,7 @@ if __name__ == "__main__":
     parser.add_argument("--save-mode", action="store_true")
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--no-gym", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
-    main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym)
+    main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym,
+         fused=args.fused)

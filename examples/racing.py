@@ -13,6 +13,12 @@ reference generation + solve) is one jitted program on device — see
 import argparse
 import time
 
+import os
+import sys
+
+# allow running directly from a source checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from mppi_playground_tpu.envs import RacingController, RacingEnv
 
 

@@ -52,7 +52,17 @@ class MPPI:
         seed: int = 42,
         store_rollouts: bool = True,
         kernel_backend: str = "auto",
+        fused_task=None,
     ) -> None:
+        """
+        Args:
+            fused_task: optional
+                :class:`~mppi_playground_tpu.ops.fused_solve.FusedTask`
+                (e.g. ``models.pendulum.fused_task()``); when provided and
+                the backend is a TPU with ``store_rollouts=False``, the
+                solve runs as one fused Pallas kernel per tick.  All other
+                semantics are unchanged.
+        """
         self.config = MPPIConfig(
             horizon=horizon,
             num_samples=num_samples,
@@ -75,7 +85,16 @@ class MPPI:
             store_rollouts=store_rollouts,
             kernel_backend=kernel_backend,
         )
-        self._solver = make_solver(self.config, dynamics, cost_func)
+        if fused_task is not None and not store_rollouts:
+            from mppi_playground_tpu.core.fused_solver import make_fused_solver
+            from mppi_playground_tpu.ops.fused_solve import fused_supported
+
+            if fused_supported():
+                self._solver = make_fused_solver(self.config, fused_task, dynamics)
+            else:
+                self._solver = make_solver(self.config, dynamics, cost_func)
+        else:
+            self._solver = make_solver(self.config, dynamics, cost_func)
         self._state = self._solver.init()
         self._last_aux: Optional[SolveAux] = None
         self._diag_key = jax.random.PRNGKey(seed + 1)

@@ -88,6 +88,15 @@ class Navigation2DEnv:
         fm = self._obstacle_map.feature_map
         return fm if fm is not None else self._obstacle_map.device_map
 
+    def fused_task(self):
+        """Model plug for the fused Pallas solver (core/fused_solver.py)."""
+        return unicycle.make_navigation_fused_task(
+            self._obstacle_map.row_interval_table,
+            goal=tuple(float(v) for v in self._goal_pos.tolist()),
+            x_lim=tuple(self._obstacle_map.x_lim),
+            y_lim=tuple(self._obstacle_map.y_lim),
+        )
+
     def reset(self) -> jnp.ndarray:
         """Reset robot pose and (lazily) the rendering figure."""
         self._robot_state = self._initial_state()

@@ -34,15 +34,12 @@ _X_THRESHOLD = 2.4
 _THETA_THRESHOLD = 12 * 2 * jnp.pi / 360
 
 
-def dynamics(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
-    """Euler cartpole step over a ``[K, 4]`` batch (cartpole.py:17-69)."""
-    x = state[:, 0]
-    x_dt = state[:, 1]
-    theta = state[:, 2]
-    theta_dt = state[:, 3]
+def dynamics_soa(xs, us):
+    """Structure-of-arrays Euler step (shape-polymorphic; fused-kernel form)."""
+    x, x_dt, theta, theta_dt = xs
 
     # bang-bang: continuous sample -> +-force_mag (cartpole.py:39-44)
-    force = jnp.where(action[:, 0] >= 0, _FORCE_MAG, -_FORCE_MAG)
+    force = jnp.where(us[0] >= 0, _FORCE_MAG, -_FORCE_MAG)
 
     costheta = jnp.cos(theta)
     sintheta = jnp.sin(theta)
@@ -56,12 +53,34 @@ def dynamics(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
     new_x_dt = x_dt + _TAU * xacc
     new_theta = jnp.clip(theta + _TAU * theta_dt, -_THETA_THRESHOLD, _THETA_THRESHOLD)
     new_theta_dt = theta_dt + _TAU * thetaacc
-    return jnp.stack([new_x, new_x_dt, new_theta, new_theta_dt], axis=1)
+    return (new_x, new_x_dt, new_theta, new_theta_dt)
+
+
+def cost_soa(xs, us, ctx):
+    """Stage cost on component tuples (cartpole.py:71-81)."""
+    x, _x_dt, theta, theta_dt = xs
+    return angle_normalize(theta) ** 2 + 0.1 * theta_dt**2 + 0.1 * x**2
+
+
+def dynamics(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+    """Euler cartpole step over a ``[K, 4]`` batch (cartpole.py:17-69)."""
+    xs = (state[:, 0], state[:, 1], state[:, 2], state[:, 3])
+    return jnp.stack(dynamics_soa(xs, (action[:, 0],)), axis=1)
 
 
 def cost(state: jnp.ndarray, action: jnp.ndarray, info: dict) -> jnp.ndarray:
     """Stage cost (cartpole.py:71-81)."""
-    x = state[:, 0]
-    theta = state[:, 2]
-    theta_dt = state[:, 3]
-    return angle_normalize(theta) ** 2 + 0.1 * theta_dt**2 + 0.1 * x**2
+    xs = (state[:, 0], state[:, 1], state[:, 2], state[:, 3])
+    return cost_soa(xs, (action[:, 0],), info)
+
+
+def fused_task():
+    """Plug for the fused Pallas solve (ops/fused_solve.py)."""
+    from mppi_playground_tpu.ops.fused_solve import FusedTask
+
+    return FusedTask(
+        dynamics_soa=dynamics_soa,
+        stage_cost_soa=cost_soa,
+        vmem_args={},
+        smem_builder=lambda info: {},
+    )

@@ -25,18 +25,41 @@ _MAX_SPEED = 0.07
 _GOAL_POSITION = 0.45
 
 
-def dynamics(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
-    """Mountain-car step over a ``[K, 2]`` batch (mountaincar.py:17-43)."""
-    position = state[:, 0]
-    velocity = state[:, 1]
-    force = jnp.clip(action[:, 0], -1.0, 1.0)
+def dynamics_soa(xs, us):
+    """Structure-of-arrays step (shape-polymorphic; fused-kernel form)."""
+    position, velocity = xs
+    force = jnp.clip(us[0], -1.0, 1.0)
 
     velocity = velocity + force * _POWER - 0.0025 * jnp.cos(3 * position)
     velocity = jnp.clip(velocity, -_MAX_SPEED, _MAX_SPEED)
     position = jnp.clip(position + velocity, _MIN_POSITION, _MAX_POSITION)
-    return jnp.stack([position, velocity], axis=1)
+    return (position, velocity)
+
+
+def cost_soa(xs, us, ctx):
+    """Distance-to-goal cost on component tuples (mountaincar.py:45-55)."""
+    return (_GOAL_POSITION - xs[0]) ** 2
+
+
+def dynamics(state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+    """Mountain-car step over a ``[K, 2]`` batch (mountaincar.py:17-43)."""
+    return jnp.stack(
+        dynamics_soa((state[:, 0], state[:, 1]), (action[:, 0],)), axis=1
+    )
 
 
 def cost(state: jnp.ndarray, action: jnp.ndarray, info: dict) -> jnp.ndarray:
     """Distance-to-goal cost (mountaincar.py:45-55)."""
-    return (_GOAL_POSITION - state[:, 0]) ** 2
+    return cost_soa((state[:, 0], state[:, 1]), (action[:, 0],), info)
+
+
+def fused_task():
+    """Plug for the fused Pallas solve (ops/fused_solve.py)."""
+    from mppi_playground_tpu.ops.fused_solve import FusedTask
+
+    return FusedTask(
+        dynamics_soa=dynamics_soa,
+        stage_cost_soa=cost_soa,
+        vmem_args={},
+        smem_builder=lambda info: {},
+    )
