@@ -62,6 +62,19 @@ def _integrator():
     )
 
 
+def _danger_zone():
+    from mppi_playground_tpu.models import danger_zone
+
+    dyn = danger_zone.make_dynamics()
+    cost = danger_zone.make_cost(radius=1.5)
+    return (
+        danger_zone.make_fused_task(radius=1.5), dyn, cost,
+        dict(dim_state=7, dim_control=2, u_min=(-1.0, -1.0),
+             u_max=(1.0, 1.0), sigmas=(0.5, 0.5)),
+        jnp.asarray([0.0, 0.0, 0.3, 3.0, 2.0, 1.5, 1.0]), {},
+    )
+
+
 def _navigation(nav_env):
     return (
         nav_env.fused_task(), nav_env.dynamics, nav_env.cost_function,
@@ -114,7 +127,7 @@ def racing_env():
 
 @pytest.mark.parametrize(
     "name", ["pendulum", "cartpole", "mountain_car", "integrator",
-             "navigation", "racing"]
+             "danger_zone", "navigation", "racing"]
 )
 def test_fused_model_matches_xla(name, nav_env, racing_env):
     if name == "navigation":
