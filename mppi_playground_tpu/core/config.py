@@ -92,6 +92,15 @@ class MPPIConfig:
                 raise ValueError(
                     "window_size must be odd and greater than poly_order."
                 )
+            # mirror padding needs pad <= len(prolonged) - 1 rows to reflect
+            # (prolonged = history + action_seq = 2*horizon - 1 rows);
+            # beyond that the reference's conv errors and our gather would
+            # silently clamp
+            if self.sg_window_size // 2 > 2 * self.horizon - 2:
+                raise ValueError(
+                    "sg_window_size too large for this horizon: the mirror "
+                    "pad exceeds the prolonged action signal."
+                )
         if not 0.0 <= self.exploration <= 1.0:
             raise ValueError("exploration must be in [0, 1].")
         if self.kernel_backend not in ("auto", "xla", "pallas"):

@@ -76,8 +76,15 @@ def make_fused_solver(
 
     if solve_core is None:
         solve_core = make_fused_solve(config, task, interpret=interpret)
-    sg_coeffs = jnp.asarray(
-        savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order), dtype
+    # coefficients only exist (and SG params are only validated) when
+    # the filter is enabled — mirrors MPPIConfig.__post_init__'s gating
+    sg_coeffs = (
+        jnp.asarray(
+            savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order),
+            dtype,
+        )
+        if config.use_sg_filter
+        else None
     )
 
     init = make_init(config, mpo_optimizer)

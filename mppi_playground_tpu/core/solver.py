@@ -243,8 +243,15 @@ def make_solver(
     u_min = jnp.asarray(config.u_min, dtype)
     u_max = jnp.asarray(config.u_max, dtype)
     sigmas = jnp.asarray(config.sigmas, dtype)
-    sg_coeffs = jnp.asarray(
-        savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order), dtype
+    # coefficients only exist (and SG params are only validated) when
+    # the filter is enabled — mirrors MPPIConfig.__post_init__'s gating
+    sg_coeffs = (
+        jnp.asarray(
+            savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order),
+            dtype,
+        )
+        if config.use_sg_filter
+        else None
     )
     threshold = config.inherited_samples
     auto = config.auto_lambda

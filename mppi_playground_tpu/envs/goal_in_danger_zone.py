@@ -30,10 +30,7 @@ except Exception:  # pragma: no cover
 
 from mppi_playground_tpu.envs import rendering
 from mppi_playground_tpu.models import danger_zone as dz_model
-
-
-def _angle_normalize(x: float) -> float:
-    return ((x + np.pi) % (2 * np.pi)) - np.pi
+from mppi_playground_tpu.utils.angles import angle_normalize
 
 
 class DangerZone:
@@ -144,7 +141,7 @@ class GoalInDangerZoneEnv(_GYM_BASE):
         v = np.clip(action[0], self._v_min, self._v_max)
         omega = np.clip(action[1], self._omega_min, self._omega_max)
 
-        self._angle = _angle_normalize(self._angle + omega * self._dt)
+        self._angle = float(angle_normalize(self._angle + omega * self._dt))
         self._pos = self._pos + v * self._dt * np.array(
             [np.cos(self._angle), np.sin(self._angle)]
         )

@@ -133,10 +133,14 @@ def make_batched_solver(
         keys = jax.random.split(key, batch_size)
         return jax.vmap(lambda k: base.init(key=k))(keys)
 
-    def solve_one(state, x0, noise):
-        return base.solve(state, x0, noise=noise)
+    def solve_one(state, x0, noise, info):
+        return base.solve(state, x0, info=info, noise=noise)
 
-    def solve_batch(states: MPPIState, x0s: jnp.ndarray) -> SolveResult:
+    def solve_batch(
+        states: MPPIState,
+        x0s: jnp.ndarray,
+        info: Optional[Dict[str, Any]] = None,
+    ) -> SolveResult:
         # second output of the per-scenario split == the noise key the
         # unsharded solve would draw (core/solver.py solve())
         noise_keys = jax.vmap(jax.random.split)(states.key)[:, 1]
@@ -147,7 +151,10 @@ def make_batched_solver(
             * sigmas
         )(noise_keys)
         noise = jax.lax.with_sharding_constraint(noise, noise_sharding)
-        return jax.vmap(solve_one)(states, x0s, noise)
+        # user info (e.g. a reference trajectory) is shared across the batch
+        return jax.vmap(solve_one, in_axes=(0, 0, 0, None))(
+            states, x0s, noise, info
+        )
 
     if jit:
         solve_batch = jax.jit(solve_batch, donate_argnums=(0,))
@@ -199,9 +206,11 @@ def make_sharded_fused_solver(
     from mppi_playground_tpu.ops.fused_solve import TILE, make_fused_solve
 
     n_shards = mesh.shape[sample_axis]
-    assert config.num_samples % (TILE * n_shards) == 0, (
-        f"num_samples must divide into {TILE}-sample tiles per shard"
-    )
+    if config.num_samples % (TILE * n_shards) != 0:
+        raise ValueError(
+            f"num_samples ({config.num_samples}) must divide into "
+            f"{TILE}-sample tiles per shard ({n_shards} shards)"
+        )
     local_k = config.num_samples // n_shards
     local_tiles = local_k // TILE
     core = make_fused_solve(
