@@ -39,7 +39,11 @@ from mppi_playground_tpu.core.solver import (
     make_states_prediction,
     smooth_predict_advance,
 )
-from mppi_playground_tpu.ops.fused_solve import FusedTask, make_fused_solve
+from mppi_playground_tpu.ops.fused_solve import (
+    FusedTask,
+    make_fused_reroll,
+    make_fused_solve,
+)
 
 
 def make_fused_solver(
@@ -89,6 +93,12 @@ def make_fused_solver(
 
     init = make_init(config, mpo_optimizer)
     states_prediction = make_states_prediction(config, dynamics)
+    # single-kernel nominal re-roll for the solve epilogue (same arithmetic;
+    # the general batched states_prediction stays XLA for diagnostics)
+    fused_reroll = make_fused_reroll(config, task, interpret=interpret)
+
+    def epilogue_prediction(x0, action_seqs):
+        return fused_reroll(x0, action_seqs[0])[None]
 
     def solve(
         state: MPPIState,
@@ -148,7 +158,7 @@ def make_fused_solver(
 
         optimal_action_seq, optimal_state_seq, new_sg_history = (
             smooth_predict_advance(
-                config, sg_coeffs, states_prediction, state, x0, update
+                config, sg_coeffs, epilogue_prediction, state, x0, update
             )
         )
 

@@ -101,6 +101,61 @@ def fused_supported() -> bool:
         return False
 
 
+def make_fused_reroll(
+    config: MPPIConfig, task: FusedTask, interpret: Optional[bool] = None
+):
+    """Single-kernel nominal-trajectory re-roll (mppi.py:508-524, batch 1).
+
+    The XLA scan version chains ``horizon`` dependent micro-ops (~0.3 ms of
+    pure dispatch latency at horizon 50); this rolls the whole sequence
+    inside one Pallas kernel on broadcast vregs.  Exact same arithmetic as
+    the SoA dynamics.
+    """
+    if interpret is None:
+        interpret = not fused_supported()
+    horizon = config.horizon
+    dim_state = config.dim_state
+    dim_control = config.dim_control
+    assert dim_state <= LANES
+
+    def kernel(x0_ref, seq_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def pack(xs):
+            row = jnp.zeros((1, LANES), jnp.float32)
+            for c in range(dim_state):
+                row = jnp.where(lane == c, xs[c], row)
+            return row
+
+        xs = tuple(
+            jnp.full((1, LANES), x0_ref[c], jnp.float32) for c in range(dim_state)
+        )
+        out_ref[0:1, :] = pack(xs)
+        for t in range(horizon):
+            us = tuple(
+                jnp.full((1, LANES), seq_ref[t, j], jnp.float32)
+                for j in range(dim_control)
+            )
+            xs = task.dynamics_soa(xs, us)
+            out_ref[t + 1 : t + 2, :] = pack(xs)
+
+    def reroll(x0: jnp.ndarray, action_seq: jnp.ndarray) -> jnp.ndarray:
+        """``(x0 [n], action_seq [T, m]) -> state_seq [T+1, n]``."""
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((horizon + 1, LANES), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(x0, jnp.float32), jnp.asarray(action_seq, jnp.float32))
+        return out[:, :dim_state]
+
+    return reroll
+
+
 def make_fused_solve(
     config: MPPIConfig,
     task: FusedTask,
