@@ -85,13 +85,24 @@ class MPPI:
             store_rollouts=store_rollouts,
             kernel_backend=kernel_backend,
         )
-        if fused_task is not None and not store_rollouts:
+        if fused_task is not None:
+            if store_rollouts:
+                raise ValueError(
+                    "fused_task requires store_rollouts=False (the fused "
+                    "kernel keeps rollouts implicit; get_top_samples needs "
+                    "the XLA path)"
+                )
             from mppi_playground_tpu.core.fused_solver import make_fused_solver
-            from mppi_playground_tpu.ops.fused_solve import fused_supported
+            from mppi_playground_tpu.ops.fused_solve import LANES, fused_supported
 
-            if fused_supported():
+            in_envelope = (
+                horizon * dim_control <= LANES and self.config.dtype == jnp.float32
+            )
+            if fused_supported() and in_envelope:
                 self._solver = make_fused_solver(self.config, fused_task, dynamics)
             else:
+                # same fallback on TPU and CPU: out-of-envelope configs use
+                # the (numerically equivalent) XLA path
                 self._solver = make_solver(self.config, dynamics, cost_func)
         else:
             self._solver = make_solver(self.config, dynamics, cost_func)

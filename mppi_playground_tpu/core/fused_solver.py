@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from mppi_playground_tpu.core import autolambda
 from mppi_playground_tpu.core.config import MPPIConfig, MPPIState
-from mppi_playground_tpu.core.sg_filter import savitzky_golay_coeffs
+from mppi_playground_tpu.core.sg_filter import config_sg_coeffs
 from mppi_playground_tpu.core.solver import (
     MPPISolver,
     SolveAux,
@@ -80,16 +80,7 @@ def make_fused_solver(
 
     if solve_core is None:
         solve_core = make_fused_solve(config, task, interpret=interpret)
-    # coefficients only exist (and SG params are only validated) when
-    # the filter is enabled — mirrors MPPIConfig.__post_init__'s gating
-    sg_coeffs = (
-        jnp.asarray(
-            savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order),
-            dtype,
-        )
-        if config.use_sg_filter
-        else None
-    )
+    sg_coeffs = config_sg_coeffs(config, dtype)
 
     init = make_init(config, mpo_optimizer)
     states_prediction = make_states_prediction(config, dynamics)

@@ -58,3 +58,17 @@ def apply_sg_filter(
     windows = padded[idx]  # [L, w, m]
     filtered = jnp.einsum("lwm,w->lm", windows, coeffs.astype(padded.dtype))
     return filtered[-horizon:]
+
+
+def config_sg_coeffs(config, dtype):
+    """SG coefficients for a solver config, or ``None`` when disabled.
+
+    Shared by the XLA and fused solver facades: coefficients only exist
+    (and SG params are only validated) when the filter is enabled —
+    mirrors ``MPPIConfig.__post_init__``'s gating.
+    """
+    if not config.use_sg_filter:
+        return None
+    return jnp.asarray(
+        savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order), dtype
+    )

@@ -46,7 +46,7 @@ from jax import lax
 
 from mppi_playground_tpu.core import autolambda
 from mppi_playground_tpu.core.config import MPPIConfig, MPPIState
-from mppi_playground_tpu.core.sg_filter import apply_sg_filter, savitzky_golay_coeffs
+from mppi_playground_tpu.core.sg_filter import apply_sg_filter, config_sg_coeffs
 from mppi_playground_tpu.ops.weighted_update import weighted_update
 
 # Model interface (matches the reference callables, mppi.py:30-31):
@@ -243,16 +243,7 @@ def make_solver(
     u_min = jnp.asarray(config.u_min, dtype)
     u_max = jnp.asarray(config.u_max, dtype)
     sigmas = jnp.asarray(config.sigmas, dtype)
-    # coefficients only exist (and SG params are only validated) when
-    # the filter is enabled — mirrors MPPIConfig.__post_init__'s gating
-    sg_coeffs = (
-        jnp.asarray(
-            savitzky_golay_coeffs(config.sg_window_size, config.sg_poly_order),
-            dtype,
-        )
-        if config.use_sg_filter
-        else None
-    )
+    sg_coeffs = config_sg_coeffs(config, dtype)
     threshold = config.inherited_samples
     auto = config.auto_lambda
     mpo_optimizer = autolambda.make_mpo_optimizer() if auto == "MPO" else None

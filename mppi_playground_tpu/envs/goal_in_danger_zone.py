@@ -30,7 +30,6 @@ except Exception:  # pragma: no cover
 
 from mppi_playground_tpu.envs import rendering
 from mppi_playground_tpu.models import danger_zone as dz_model
-from mppi_playground_tpu.utils.angles import angle_normalize
 
 
 class DangerZone:
@@ -141,7 +140,11 @@ class GoalInDangerZoneEnv(_GYM_BASE):
         v = np.clip(action[0], self._v_min, self._v_max)
         omega = np.clip(action[1], self._omega_min, self._omega_max)
 
-        self._angle = float(angle_normalize(self._angle + omega * self._dt))
+        # host-side scalar sim step: keep this pure numpy (the shared jnp
+        # helper would add a device dispatch + sync per step)
+        self._angle = float(
+            ((self._angle + omega * self._dt + np.pi) % (2 * np.pi)) - np.pi
+        )
         self._pos = self._pos + v * self._dt * np.array(
             [np.cos(self._angle), np.sin(self._angle)]
         )

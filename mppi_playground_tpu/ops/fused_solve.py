@@ -328,6 +328,27 @@ def make_fused_solve(
                 numer = jnp.where(lane == t * dim_control + j, w_sum, numer)
         numer_ref[0, :, :] = numer
 
+    def _append_noise_input(in_specs, args, noise):
+        """Inject external noise: [K_local, T, m] -> [T*m, K_pad/128, 128].
+
+        Shared by the full and weighted-only launches so the phase-1/2
+        noise layouts can never diverge; tile i reads sublane rows 8i..8i+8.
+        """
+        nz = jnp.asarray(noise, jnp.float32).reshape(num_local, d_flat)
+        if k_pad > num_local:
+            nz = jnp.concatenate(
+                [nz, jnp.zeros((k_pad - num_local, d_flat), jnp.float32)]
+            )
+        nz = nz.T.reshape(d_flat, k_pad // LANES, LANES)
+        in_specs.append(
+            pl.BlockSpec(
+                (d_flat, SUBLANES, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(nz)
+
     # ------------------------------------------------------------------
     def run_kernel(
         x0: jnp.ndarray,
@@ -369,20 +390,7 @@ def make_fused_solve(
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(jnp.asarray(smem_arrays[kname], jnp.float32))
         if noise_mode:
-            # [K_local, T, m] -> [T*m, K_pad/128, 128]; tile i reads rows 8i..
-            nz = jnp.asarray(noise, jnp.float32).reshape(num_local, d_flat)
-            nz = jnp.concatenate(
-                [nz, jnp.zeros((k_pad - num_local, d_flat), jnp.float32)]
-            ) if k_pad > num_local else nz
-            nz = nz.T.reshape(d_flat, k_pad // LANES, LANES)
-            in_specs.append(
-                pl.BlockSpec(
-                    (d_flat, SUBLANES, LANES),
-                    lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            )
-            args.append(nz)
+            _append_noise_input(in_specs, args, noise)
 
         out_shape = [
             jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),  # costs
@@ -443,19 +451,7 @@ def make_fused_solve(
             jnp.asarray(tile_offset, jnp.int32).reshape(1),
         ]
         if noise_mode:
-            nz = jnp.asarray(noise, jnp.float32).reshape(num_local, d_flat)
-            nz = jnp.concatenate(
-                [nz, jnp.zeros((k_pad - num_local, d_flat), jnp.float32)]
-            ) if k_pad > num_local else nz
-            nz = nz.T.reshape(d_flat, k_pad // LANES, LANES)
-            in_specs.append(
-                pl.BlockSpec(
-                    (d_flat, SUBLANES, LANES),
-                    lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            )
-            args.append(nz)
+            _append_noise_input(in_specs, args, noise)
         # padded cost entries must lose the softmin
         costs_pad = jnp.full(k_pad, 1e30, jnp.float32).at[:num_local].set(costs)
         in_specs.append(
