@@ -413,6 +413,12 @@ def make_fused_solve(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            # every tile writes disjoint output blocks (no cross-tile
+            # recurrence), so the grid splits across TensorCores on
+            # megacore chips (v4/v5p have 2 cores; v5e has 1)
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
             interpret=interpret,
         )(*args)
 
@@ -480,6 +486,9 @@ def make_fused_solve(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
             interpret=interpret,
         )(*args)
         return stats[:, 0, :], numer[:, 0, :]
