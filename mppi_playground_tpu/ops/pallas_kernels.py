@@ -30,9 +30,8 @@ _K_TILE = 1024
 
 def supports_weighted_update(costs: jnp.ndarray, samples: jnp.ndarray) -> bool:
     """Shape gate for the fused kernel (fallback to XLA otherwise)."""
-    k = costs.shape[0]
     d = samples.shape[1] * samples.shape[2]
-    return k % _K_TILE == 0 and d <= 4096 and costs.dtype == jnp.float32
+    return d <= 4096 and costs.dtype == jnp.float32
 
 
 def _weighted_update_kernel(
@@ -115,11 +114,24 @@ def weighted_update(
     k = costs.shape[0]
     horizon, dim_control = samples.shape[1], samples.shape[2]
     d = horizon * dim_control
-    num_tiles = k // _K_TILE
-    samples2d = samples.reshape(k, d)
     lam32 = jnp.asarray(lam, jnp.float32)
     lam2d = lam32.reshape(1, 1)
-    costs2d = costs.reshape(k // 128, 128)
+
+    # pad to whole tiles: padded costs take a huge value (their exp
+    # underflows to exactly 0, leaving every accumulator untouched)
+    k_pad = -(-k // _K_TILE) * _K_TILE
+    num_tiles = k_pad // _K_TILE
+    samples2d = samples.reshape(k, d)
+    if k_pad > k:
+        samples2d = jnp.concatenate(
+            [samples2d, jnp.zeros((k_pad - k, d), samples2d.dtype)]
+        )
+        costs_padded = jnp.concatenate(
+            [costs, jnp.full(k_pad - k, 1e30, costs.dtype)]
+        )
+    else:
+        costs_padded = costs
+    costs2d = costs_padded.reshape(k_pad // 128, 128)
 
     numerator, stats = pl.pallas_call(
         _weighted_update_kernel,

@@ -49,6 +49,28 @@ def test_pallas_weighted_update_extreme_costs():
 
 
 def test_supports_gate():
-    costs = jnp.zeros(1000, jnp.float32)  # not a multiple of the K tile
+    # non-tile-multiple K is padded internally, so it is supported now
+    costs = jnp.zeros(1000, jnp.float32)
     samples = jnp.zeros((1000, 5, 2), jnp.float32)
-    assert not pallas_kernels.supports_weighted_update(costs, samples)
+    assert pallas_kernels.supports_weighted_update(costs, samples)
+    # but non-f32 costs are not
+    assert not pallas_kernels.supports_weighted_update(
+        costs.astype(jnp.bfloat16), samples
+    )
+
+
+@pytest.mark.parametrize("k", [1000, 3000, 4000])
+def test_pallas_weighted_update_padded_k(k):
+    """Reference workload sample counts (not multiples of the K tile)."""
+    rng = np.random.default_rng(2)
+    costs = jnp.asarray(rng.uniform(0, 100, size=k), jnp.float32)
+    samples = jnp.asarray(rng.normal(size=(k, 10, 2)), jnp.float32)
+    lam = jnp.asarray(1.0, jnp.float32)
+
+    upd_x, w_x, ess_x = _xla_weighted_update(costs, samples, lam)
+    upd_p, w_p, ess_p = pallas_kernels.weighted_update(
+        costs, samples, lam, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(upd_p), np.asarray(upd_x), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_x), rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(float(ess_p), float(ess_x), rtol=2e-4)
