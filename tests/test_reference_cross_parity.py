@@ -97,8 +97,10 @@ def _build(lambda_, **kw):
         (1.0, {"use_sg_filter": True, "sg_window_size": 5, "sg_poly_order": 3}),
         ("ESSPS", {}),
         ("LBPS", {}),
+        ("MPO", {}),
     ],
-    ids=["fixed", "low-lambda", "exploration", "sg-filter", "essps", "lbps"],
+    ids=["fixed", "low-lambda", "exploration", "sg-filter", "essps", "lbps",
+         "mpo"],
 )
 def test_matches_upstream_reference(lambda_, kw):
     ref, ours = _build(lambda_, **kw)
