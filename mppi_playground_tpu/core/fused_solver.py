@@ -15,9 +15,8 @@ regenerates the perturbations from the same per-tile seeds and weights
 them at the final lambda — recompute instead of materializing [K, T, m].
 
 Scope (asserted): f32, no rollout storage, ``horizon * dim_control <=
-128``; the sharded core override additionally requires fixed lambda.
-Diagnostics that need per-sample trajectories use the XLA path; the two
-are numerically equivalent given the same noise
+128``.  Diagnostics that need per-sample trajectories use the XLA path;
+the two are numerically equivalent given the same noise
 (tests/test_fused_solve.py).
 """
 
@@ -69,11 +68,11 @@ def make_fused_solver(
     """
     assert not config.store_rollouts, "fused path does not store rollouts"
     auto = config.auto_lambda
-    if solve_core is not None:
-        # sharded core override: auto-lambda needs the two-phase kernel
-        # split (run_kernel + run_weighted), which the shard_map'd core
-        # does not expose yet
-        assert auto is None, "sharded fused path requires fixed lambda"
+    if solve_core is not None and auto in ("LBPS", "ESSPS"):
+        # the two-phase auto-lambda path needs the core's kernel split
+        assert hasattr(solve_core, "run_kernel") and hasattr(
+            solve_core, "run_weighted"
+        ), "auto-lambda needs a core exposing run_kernel/run_weighted"
 
     dtype = config.dtype
     mpo_optimizer = autolambda.make_mpo_optimizer() if auto == "MPO" else None

@@ -220,28 +220,65 @@ def make_sharded_fused_solver(
     rep = PartitionSpec()
     shard = PartitionSpec(sample_axis)
 
-    def sharded_core(x0, prev_seq, lam, seed, smem_arrays, noise=None):
+    # Each shard_map launches the per-shard kernel and returns per-tile
+    # partials sharded along the tile axis; the global softmin merge runs
+    # OUTSIDE shard_map as plain XLA over the [total_tiles, 128] partials,
+    # letting GSPMD insert the collectives.  This keeps the core's
+    # run_kernel / run_weighted / combine_partials surface identical to the
+    # single-device core, so the facade's auto-lambda two-phase path works
+    # sharded without modification.
+
+    def sharded_run_kernel(x0, prev_seq, lam, seed, smem_arrays, noise=None,
+                           tile_offset=0):
+        del tile_offset  # computed per shard from the mesh position
         smem_specs = jax.tree_util.tree_map(lambda _: rep, smem_arrays)
         noise_spec = shard if noise is not None else rep
 
         def shard_fn(x0, prev_seq, lam, seed, smem_arrays, noise):
             idx = jax.lax.axis_index(sample_axis)
-            costs, stats, numer = core.run_kernel(
+            return core.run_kernel(
                 x0, prev_seq, lam, seed, smem_arrays,
                 noise=noise, tile_offset=idx * local_tiles,
             )
-            update, weights, ess = core.combine_partials(
-                costs, stats, numer, lam, axis_name=sample_axis
-            )
-            return costs, update, weights, ess
 
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(rep, rep, rep, rep, smem_specs, noise_spec),
-            out_specs=(shard, rep, shard, rep),
+            out_specs=(shard, shard, shard),
             check_vma=False,
         )(x0, prev_seq, lam, seed, smem_arrays, noise)
+
+    def sharded_run_weighted(prev_seq, lam, seed, costs, noise=None,
+                             tile_offset=0):
+        del tile_offset
+        noise_spec = shard if noise is not None else rep
+
+        def shard_fn(prev_seq, lam, seed, costs, noise):
+            idx = jax.lax.axis_index(sample_axis)
+            return core.run_weighted(
+                prev_seq, lam, seed, costs,
+                noise=noise, tile_offset=idx * local_tiles,
+            )
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, shard, noise_spec),
+            out_specs=(shard, shard),
+            check_vma=False,
+        )(prev_seq, lam, seed, costs, noise)
+
+    def sharded_core(x0, prev_seq, lam, seed, smem_arrays, noise=None):
+        costs, stats, numer = sharded_run_kernel(
+            x0, prev_seq, lam, seed, smem_arrays, noise
+        )
+        update, weights, ess = core.combine_partials(costs, stats, numer, lam)
+        return costs, update, weights, ess
+
+    sharded_core.run_kernel = sharded_run_kernel
+    sharded_core.run_weighted = sharded_run_weighted
+    sharded_core.combine_partials = core.combine_partials
 
     # the facade supplies init / SG filter / prediction / warm-start
     # semantics around the shard_map'd kernel core

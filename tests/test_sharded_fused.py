@@ -85,3 +85,31 @@ def test_sharded_fused_warm_start_chain():
     a = np.asarray(r.action_seq)
     assert np.isfinite(a).all()
     assert (a >= -1.0).all() and (a <= 1.0).all()
+
+
+def test_sharded_fused_essps_matches_single_device():
+    """Two-phase auto-lambda under sample-axis sharding (GSPMD combine)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_config(), lambda_="ESSPS")
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_fused_solver(cfg, task, dyn, mesh, jit=True)
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    x0 = jnp.asarray([0.1, 0.0], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(21), (K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rs = sharded.solve(sharded.init(), x0, info=_info(), noise=noise)
+    r1 = single.solve(single.init(), x0, info=_info(), noise=noise)
+
+    np.testing.assert_allclose(
+        np.asarray(rs.aux.costs), np.asarray(r1.aux.costs), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(rs.aux.lam), float(r1.aux.lam), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(rs.action_seq), np.asarray(r1.action_seq), atol=5e-3
+    )
