@@ -113,3 +113,46 @@ def test_sharded_fused_essps_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(rs.action_seq), np.asarray(r1.action_seq), atol=5e-3
     )
+
+
+def test_sharded_fused_racing_task():
+    """Real racing task (interval map tables in VMEM) under shard_map."""
+    from mppi_playground_tpu.envs.racing_env import RacingEnv
+    from mppi_playground_tpu.models.racing_mpcc import (
+        calc_ref_trajectory,
+        make_racing_fused_task,
+    )
+
+    env = RacingEnv()
+    cfg = MPPIConfig(
+        horizon=HORIZON, num_samples=K, dim_state=4, dim_control=2,
+        u_min=(-2.0, -0.25), u_max=(2.0, 0.25), sigmas=(0.5, 0.1),
+        lambda_=1.0, store_rollouts=False,
+    )
+    task = make_racing_fused_task(
+        env.obstacle_map.row_interval_table,
+        env.lane_map.row_interval_table,
+        x_lim=tuple(env.obstacle_map.x_lim),
+        y_lim=tuple(env.obstacle_map.y_lim),
+    )
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_fused_solver(cfg, task, env.dynamics, mesh)
+    single = make_fused_solver(cfg, task, env.dynamics, jit=True,
+                               donate_state=False)
+
+    x0 = env.reset()
+    xref, _ = calc_ref_trajectory(
+        x0, env.racing_center_path, jnp.asarray(0, jnp.int32), HORIZON
+    )
+    info = {"reference_path": xref}
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), (K, HORIZON, 2), jnp.float32
+    ) * jnp.asarray([0.5, 0.1])
+    rs = sharded.solve(sharded.init(), x0, info=info, noise=noise)
+    r1 = single.solve(single.init(), x0, info=info, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(rs.aux.costs), np.asarray(r1.aux.costs), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.action_seq), np.asarray(r1.action_seq), atol=5e-3
+    )
