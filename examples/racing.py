@@ -27,9 +27,16 @@ def main(
     max_steps: int = 500,
     render: bool = True,
     debug: bool = False,
+    fused: bool = False,
 ):
     env = RacingEnv()
-    controller = RacingController(env)
+    # --fused: one Pallas kernel per tick; rollouts stay implicit, so the
+    # top-sample overlay is unavailable (rendering skips it)
+    controller = RacingController(
+        env,
+        store_rollouts=not fused,
+        solver_backend="fused" if fused else "auto",
+    )
 
     state = env.reset()
     solve_times = []
@@ -42,14 +49,16 @@ def main(
 
         state, is_goal_reached = env.step(action_seq[0])
         is_collisions = env.collision_check(state=state_seq[None])
-        top_samples, top_weights = controller.get_top_samples(num_samples=300)
+        top = None
+        if not fused:
+            top = controller.get_top_samples(num_samples=300)
 
         if render:
             env.render(
                 action=action_seq[0],
                 predicted_trajectory=state_seq,
                 is_collisions=is_collisions,
-                top_samples=(top_samples, top_weights),
+                top_samples=top,
                 reference_trajectory=controller.reference_path,
                 mode="rgb_array" if save_mode else "human",
             )
@@ -69,10 +78,12 @@ if __name__ == "__main__":
     parser.add_argument("--max-steps", type=int, default=500)
     parser.add_argument("--no-render", action="store_true")
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
     main(
         save_mode=args.save_mode,
         max_steps=args.max_steps,
         render=not args.no_render,
         debug=args.debug,
+        fused=args.fused,
     )
