@@ -75,9 +75,11 @@ class MPPIConfig:
     kernel_backend: str = "auto"
 
     def __post_init__(self):
-        assert len(self.u_min) == self.dim_control, "u_min shape mismatch"
-        assert len(self.u_max) == self.dim_control, "u_max shape mismatch"
-        assert len(self.sigmas) == self.dim_control, "sigmas shape mismatch"
+        for name in ("u_min", "u_max", "sigmas"):
+            if len(getattr(self, name)) != self.dim_control:
+                raise ValueError(
+                    f"{name} must have length dim_control={self.dim_control}"
+                )
         if isinstance(self.lambda_, str):
             if self.lambda_ not in AUTO_LAMBDA_MODES:
                 raise ValueError(

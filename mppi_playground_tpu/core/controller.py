@@ -15,6 +15,7 @@ and ergonomic migration.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
@@ -93,12 +94,12 @@ class MPPI:
                     "the XLA path)"
                 )
             from mppi_playground_tpu.core.fused_solver import make_fused_solver
-            from mppi_playground_tpu.ops.fused_solve import LANES, fused_supported
-
-            in_envelope = (
-                horizon * dim_control <= LANES and self.config.dtype == jnp.float32
+            from mppi_playground_tpu.ops.fused_solve import (
+                fused_envelope,
+                fused_supported,
             )
-            if fused_supported() and in_envelope:
+
+            if fused_supported() and fused_envelope(self.config):
                 self._solver = make_fused_solver(self.config, fused_task, dynamics)
             else:
                 # same fallback on TPU and CPU: out-of-envelope configs use
@@ -121,9 +122,19 @@ class MPPI:
         self._state = value
 
     def reset(self) -> None:
-        """Zero the warm start (mppi.py:212-221); the PRNG key advances."""
-        key = self._state.key
-        self._state = self._solver.init(key=key)
+        """Zero the warm start (mppi.py:212-221).
+
+        Like the reference, only the previous action sequence and SG
+        history are cleared — the adapted lambda and MPO optimizer state
+        persist across episodes.
+        """
+        fresh = self._solver.init(key=self._state.key)
+        self._state = dataclasses.replace(
+            fresh,
+            lam=self._state.lam,
+            mpo_log_temperature=self._state.mpo_log_temperature,
+            mpo_opt_state=self._state.mpo_opt_state,
+        )
 
     def forward(
         self,

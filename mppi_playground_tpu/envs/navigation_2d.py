@@ -84,9 +84,8 @@ class Navigation2DEnv:
 
     @property
     def obstacle_cost_map(self):
-        """Fastest exact query map: analytic features when verified, else grid."""
-        fm = self._obstacle_map.feature_map
-        return fm if fm is not None else self._obstacle_map.device_map
+        """Fastest exact query map (see ObstacleMap.cost_map)."""
+        return self._obstacle_map.cost_map
 
     def fused_task(self):
         """Model plug for the fused Pallas solver (core/fused_solver.py)."""
@@ -101,6 +100,10 @@ class Navigation2DEnv:
         """Reset robot pose and (lazily) the rendering figure."""
         self._robot_state = self._initial_state()
         self._rendered_frames = []
+        if self._fig is not None:  # avoid leaking figures in pyplot's registry
+            from matplotlib import pyplot as plt
+
+            plt.close(self._fig)
         self._fig = None
         return self._robot_state
 

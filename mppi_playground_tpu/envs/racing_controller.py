@@ -29,7 +29,7 @@ from mppi_playground_tpu.models.racing_mpcc import (
     make_mpcc_cost,
     make_racing_fused_task,
 )
-from mppi_playground_tpu.ops.fused_solve import fused_supported
+from mppi_playground_tpu.ops.fused_solve import fused_envelope, fused_supported
 
 
 class RacingController:
@@ -73,12 +73,7 @@ class RacingController:
             kernel_backend=kernel_backend,
         )
         if solver_backend == "auto":
-            fused_ok = (
-                fused_supported()
-                and not store_rollouts
-                and isinstance(lambda_, (int, float))
-                and horizon * 2 <= 128
-            )
+            fused_ok = fused_supported() and fused_envelope(self.config)
             solver_backend = "fused" if fused_ok else "xla"
         self.solver_backend = solver_backend
         # inner solver stays unjitted; the full tick below is the jit unit
@@ -124,8 +119,16 @@ class RacingController:
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
-        key = self.solver_state.key
-        self.solver_state = self._solver.init(key=key)
+        import dataclasses
+
+        # keep the adapted lambda / MPO state across episodes (mppi.py:212-221)
+        fresh = self._solver.init(key=self.solver_state.key)
+        self.solver_state = dataclasses.replace(
+            fresh,
+            lam=self.solver_state.lam,
+            mpo_log_temperature=self.solver_state.mpo_log_temperature,
+            mpo_opt_state=self.solver_state.mpo_opt_state,
+        )
         self.current_path_index = jnp.asarray(0, jnp.int32)
         self.reference_path = None
         self._last_aux = None

@@ -128,22 +128,20 @@ class RacingEnv:
 
     @property
     def obstacle_cost_map(self):
-        """Fastest exact query representation for the cost loop.
-
-        The analytic feature map when it reproduces the grid exactly
-        (always, for reference-style generated maps), else the grid.
-        """
-        fm = self._obstacle_map.feature_map
-        return fm if fm is not None else self._obstacle_map.device_map
+        """Fastest exact query map (see ObstacleMap.cost_map)."""
+        return self._obstacle_map.cost_map
 
     @property
     def lane_cost_map(self):
-        fm = self._lane_map.feature_map
-        return fm if fm is not None else self._lane_map.device_map
+        return self._lane_map.cost_map
 
     def reset(self) -> jnp.ndarray:
         self._robot_state = self._initial_state()
         self._rendered_frames = []
+        if self._fig is not None:  # avoid leaking figures in pyplot's registry
+            from matplotlib import pyplot as plt
+
+            plt.close(self._fig)
         self._fig = None
         return self._robot_state
 

@@ -20,9 +20,10 @@ import numpy as np
 def fig_to_rgb(fig) -> np.ndarray:
     """Rasterize a matplotlib figure to an RGB uint8 array."""
     fig.canvas.draw()
-    buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
-    w, h = fig.canvas.get_width_height()
-    return buf.reshape(h, w, 4)[..., :3].copy()
+    # buffer_rgba carries its own (physical-pixel) shape — never pair it
+    # with logical get_width_height(), which differs on HiDPI backends
+    buf = np.asarray(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    return buf[..., :3].copy()
 
 
 def draw_top_samples(ax, top_samples, top_weights) -> None:

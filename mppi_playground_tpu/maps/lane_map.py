@@ -118,6 +118,16 @@ class LaneMap:
             )
         return self._row_interval_table
 
+    @property
+    def cost_map(self):
+        """Fastest exact query representation for hot cost loops.
+
+        The analytic feature map when it reproduces the grid exactly,
+        else the gather-backed grid.
+        """
+        fm = self.feature_map
+        return fm if fm is not None else self.device_map
+
     def compute_cost(self, x: jnp.ndarray) -> jnp.ndarray:
         """Batched off-lane cost (lane_map_2d.py:90-122)."""
         return grid_cost(self.device_map, x)

@@ -93,6 +93,17 @@ def _normal_pair(shape):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+def fused_envelope(config) -> bool:
+    """Whether a config fits the fused kernel (single source of truth)."""
+    import jax.numpy as _jnp
+
+    return (
+        config.horizon * config.dim_control <= LANES
+        and config.dtype == _jnp.float32
+        and not config.store_rollouts
+    )
+
+
 def fused_supported() -> bool:
     """Fused kernels compile natively only on TPU backends."""
     try:

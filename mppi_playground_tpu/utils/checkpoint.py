@@ -40,6 +40,13 @@ def load_state(path: str, template):
             f"checkpoint has {len(leaves)} leaves; template expects "
             f"{len(template_leaves)}"
         )
+    for i, (leaf, tmpl) in enumerate(zip(leaves, template_leaves)):
+        if tuple(leaf.shape) != tuple(jax.numpy.shape(tmpl)):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {tuple(leaf.shape)}; template "
+                f"expects {tuple(jax.numpy.shape(tmpl))} — was this state "
+                "saved from a different solver config?"
+            )
     restored = [
         jax.numpy.asarray(leaf, tmpl.dtype)
         for leaf, tmpl in zip(leaves, template_leaves)

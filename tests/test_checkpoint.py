@@ -53,3 +53,25 @@ def test_checkpoint_leaf_mismatch_rejected(tmp_path):
     path = save_state(str(tmp_path / "ckpt"), solver_a.init())
     with pytest.raises(ValueError):
         load_state(path, solver_b.init())
+
+
+def test_load_rejects_mismatched_shapes(tmp_path):
+    """A checkpoint from a different config must fail loudly, not broadcast."""
+    import pytest
+
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.core.solver import make_init
+    from mppi_playground_tpu.utils.checkpoint import load_state, save_state
+
+    def cfg(horizon):
+        return MPPIConfig(
+            horizon=horizon, num_samples=64, dim_state=2, dim_control=2,
+            u_min=(-1.0, -1.0), u_max=(1.0, 1.0), sigmas=(1.0, 1.0),
+            lambda_=1.0,
+        )
+
+    small = make_init(cfg(4))()
+    big_template = make_init(cfg(8))()
+    path = save_state(str(tmp_path / "st"), small)
+    with pytest.raises(ValueError, match="different solver config"):
+        load_state(path, big_template)

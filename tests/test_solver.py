@@ -179,3 +179,30 @@ def test_invalid_lambda_rejected():
 def test_sg_filter_config_validation():
     with pytest.raises(ValueError):
         _integrator_config(use_sg_filter=True, sg_window_size=4)
+
+
+def test_controller_reset_preserves_adapted_lambda():
+    """reset() clears only the warm start (mppi.py:212-221); the adapted
+    temperature and MPO optimizer state persist across episodes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mppi_playground_tpu import MPPI
+    from mppi_playground_tpu.models import pendulum
+
+    c = MPPI(
+        horizon=6, num_samples=128, dim_state=2, dim_control=1,
+        dynamics=pendulum.dynamics, cost_func=pendulum.cost,
+        u_min=jnp.asarray([-2.0]), u_max=jnp.asarray([2.0]),
+        sigmas=jnp.asarray([1.0]), lambda_="MPO",
+    )
+    for _ in range(3):
+        c.forward(jnp.asarray([np.pi, 0.0]))
+    lam_before = c.lambda_
+    log_t_before = float(c.solver_state.mpo_log_temperature)
+    assert lam_before != 1.0  # temperature actually adapted
+
+    c.reset()
+    assert float(c.solver_state.lam) == lam_before
+    assert float(c.solver_state.mpo_log_temperature) == log_t_before
+    assert float(jnp.abs(c.solver_state.previous_action_seq).sum()) == 0.0
