@@ -201,5 +201,14 @@ class GoalInDangerZoneEnv(_GYM_BASE):
             return frame
         return None
 
-    def close(self):
-        pass
+    def close(self, path: str = None):
+        """Write accumulated rgb_array frames as a gif (like the other envs)
+        and release the figure; frames are cleared either way."""
+        if self._frames and path is not None:
+            rendering.save_gif(self._frames, path)
+        self._frames = []
+        if self._fig is not None:
+            from matplotlib import pyplot as plt
+
+            plt.close(self._fig)
+            self._fig = None

@@ -11,7 +11,10 @@ goal/center from the env object at call time, which under jit would force a
 retrace every reset.  The observation already encodes both
 (``goal = pos + vec_to_goal``, ``center = pos + vec_to_center``), so our
 dynamics recover them from the state itself — the jitted solve is reused
-across episodes with zero recompiles and identical numerics.
+across episodes with zero recompiles.  The reconstruction adds one f32
+rounding per rollout step (the recovered goal/center can drift by ~T ulps
+over the horizon vs the reference's exact episode tensors) — negligible
+for control, but boundary-ulp collision flips are possible.
 """
 
 from __future__ import annotations

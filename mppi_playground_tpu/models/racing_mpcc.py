@@ -216,11 +216,18 @@ def calc_ref_trajectory(
     nearest = jnp.argmin(d2).astype(jnp.int32)
     ind = jnp.maximum(jnp.asarray(cind, jnp.int32), nearest)
 
-    # Lookahead offsets are static: round((lookahead + (i+1)*interval)/DL).
-    travel = lookahead_distance + reference_path_interval * (
-        jnp.arange(1, horizon + 2, dtype=jnp.float32)
-    )
-    dinds = jnp.round(travel / DL).astype(jnp.int32)
+    # Lookahead offsets are static — replicate the reference's host-side
+    # float64 ACCUMULATION (racing.py:204-208: travel += interval each row,
+    # dind = int(round(travel / DL))).  A closed-form f32 version rounds
+    # differently for ~1 in 5 rows at horizon 50 (e.g. f64 5.5499.../0.1 ->
+    # 55 vs f32 55.500004 -> 56), shifting the reference pose by one path
+    # sample.
+    travel = float(lookahead_distance)
+    dind_list = []
+    for _ in range(horizon + 1):
+        travel += float(reference_path_interval)
+        dind_list.append(int(round(travel / DL)))
+    dinds = jnp.asarray(dind_list, jnp.int32)
 
     rows = ind + dinds
     valid = rows < ncourse

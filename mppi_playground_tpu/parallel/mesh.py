@@ -29,21 +29,27 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize multi-host JAX (no-op on a single process).
+    """Initialize multi-host JAX.
 
-    On TPU pods the arguments are auto-detected from the environment; on
-    other platforms pass them explicitly.
+    Must be the process's FIRST JAX call: any backend-touching call (even
+    ``jax.process_count()``) initializes XLA, after which
+    ``jax.distributed.initialize`` refuses to run — so no pre-checks here.
+    On TPU pods call with no arguments (everything is auto-detected from
+    the pod environment); elsewhere pass the coordinator explicitly.
+    Safe to call redundantly: an already-initialized runtime is left as-is.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        # single-host: nothing to do
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception:
+        # Tolerate only a redundant call on an already-multi-process
+        # runtime; never fall back silently to isolated single hosts.
+        if jax.process_count() > 1:
+            return
+        raise
 
 
 def make_mesh(

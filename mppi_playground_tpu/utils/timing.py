@@ -24,8 +24,12 @@ class SolveTimer:
 
     @contextlib.contextmanager
     def measure(self, result_fn: Callable = None):
+        """Time a block; pass ``result_fn`` returning the block's output so
+        the async JAX dispatch is synced before the clock stops."""
         start = time.perf_counter()
         yield
+        if result_fn is not None:
+            jax.block_until_ready(result_fn())
         self.times.append(time.perf_counter() - start)
 
     def add(self, seconds: float) -> None:

@@ -185,3 +185,42 @@ def test_danger_zone_solver_avoids_zone_entry_cost():
     solver_state = solver.init()
     result = solver.solve(solver_state, jnp.asarray(obs, jnp.float32))
     assert np.all(np.isfinite(np.asarray(result.action_seq)))
+
+
+def test_calc_ref_trajectory_lookahead_matches_reference_accumulation():
+    """Lookahead rows must follow the reference's float64 accumulation
+    (racing.py:204-208); a closed-form f32 version rounds ~1 in 5 rows
+    differently at horizon 50."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mppi_playground_tpu.envs.racing_env import RacingEnv
+    from mppi_playground_tpu.models.racing_mpcc import calc_ref_trajectory
+
+    env = RacingEnv()
+    path = np.asarray(env.racing_center_path)
+    horizon = 50
+    state = env.reset()
+
+    xref, ind = calc_ref_trajectory(
+        state, env.racing_center_path, jnp.asarray(0, jnp.int32), horizon
+    )
+    ind = int(ind)
+
+    # reference accumulation loop (racing.py:200-217)
+    travel = 3.0
+    expected = np.zeros((horizon + 1, 4), np.float32)
+    overrun = False
+    for i in range(horizon + 1):
+        travel += 0.85
+        dind = int(round(travel / 0.1))
+        if ind + dind < len(path):
+            expected[i, :3] = path[ind + dind]
+            expected[i, 3] = 8.0
+        else:
+            expected[i, :3] = path[-1]
+            overrun = True
+    if overrun:
+        expected[:, 3] = 0.0
+
+    np.testing.assert_allclose(np.asarray(xref), expected, atol=1e-6)
