@@ -47,7 +47,9 @@ from mppi_playground_tpu.core.config import MPPIConfig
 
 LANES = 128
 SUBLANES = 8
-TILE = SUBLANES * LANES  # 1024 samples per grid step
+# 1024 samples per grid step: [16,128] tiles OOM scoped VMEM (18.7M > 16M)
+# at flagship shapes — the unrolled pert slots dominate live registers.
+TILE = SUBLANES * LANES
 _TWO_PI = 2.0 * np.pi
 _SEED_MIX = 0x3779B1  # per-tile stream offset (int32-safe odd constant)
 
