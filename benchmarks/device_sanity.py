@@ -31,7 +31,9 @@ def main(n: int = 4096):
     expected = a @ b
     cpu_s = time.perf_counter() - t0
 
-    f = jax.jit(jnp.matmul)
+    # TPUs default f32 matmuls to bfloat16 passes; the numerics check
+    # needs true f32 (the timing reflects the same HIGHEST-precision path)
+    f = jax.jit(lambda x, y: jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST))
     got = f(jnp.asarray(a), jnp.asarray(b))
     jax.block_until_ready(got)
     t0 = time.perf_counter()
