@@ -125,6 +125,52 @@ def main():
         dt = (time.perf_counter() - t0) / ITERS
         _report(tag + "_" + ctrl.solver_backend, horizon, k, dt)
 
+    # flagship, single-dispatch episodes: N ticks per program amortize the
+    # per-dispatch overhead (core/closed_loop.py)
+    from mppi_playground_tpu.core.closed_loop import make_closed_loop
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
+    from mppi_playground_tpu.models.racing_mpcc import (
+        calc_ref_trajectory,
+        make_racing_fused_task,
+    )
+    from mppi_playground_tpu.ops.fused_solve import fused_supported
+
+    if fused_supported():
+        horizon, k, ticks = 50, 100_000, 50
+        config = MPPIConfig(
+            horizon=horizon, num_samples=k, dim_state=4, dim_control=2,
+            u_min=(-2.0, -0.25), u_max=(2.0, 0.25), sigmas=(0.5, 0.1),
+            lambda_=1.0, store_rollouts=False,
+        )
+        task = make_racing_fused_task(
+            renv.obstacle_map.row_interval_table,
+            renv.lane_map.row_interval_table,
+            x_lim=tuple(renv.obstacle_map.x_lim),
+            y_lim=tuple(renv.obstacle_map.y_lim),
+        )
+        solver = make_fused_solver(config, task, renv.dynamics, jit=False)
+        path = renv.racing_center_path
+
+        def info_fn(cind, x):
+            xref, new_cind = calc_ref_trajectory(x, path, cind, horizon)
+            return {"reference_path": xref}, new_cind
+
+        run = make_closed_loop(
+            solver, lambda x, u: renv.dynamics(x[None], u[None])[0],
+            ticks, info_fn=info_fn,
+        )
+        x0 = renv.reset()
+        st = solver.init()
+        cind = jnp.asarray(0, jnp.int32)
+        out = run(st, x0, cind)
+        jax.block_until_ready(out[1])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = run(st, x0, cind)
+        jax.block_until_ready(out[1])
+        dt = (time.perf_counter() - t0) / (5 * ticks)
+        _report("racing_flagship_episode_amortized", horizon, k, dt)
+
 
 if __name__ == "__main__":
     main()

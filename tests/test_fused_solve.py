@@ -264,3 +264,37 @@ def test_row_interval_table_invalidated_on_obstacle_add():
     t1 = om.row_interval_table
     assert t1 is not t0
     assert float(interval_query(t1, jnp.asarray([5.0]), jnp.asarray([5.0]))[0]) == 1.0
+
+
+def test_closed_loop_matches_host_loop():
+    """lax.scan'd closed loop == host-driven tick loop (same noise path
+    is impossible per tick, so compare with the deterministic plant and
+    kernel-free config via injected... instead: use the XLA solver whose
+    RNG is the state key — identical stream in both drivers)."""
+    from mppi_playground_tpu.core.closed_loop import make_closed_loop
+
+    cfg = _config()
+    dyn, cost = _toy_aos()
+    solver = make_solver(cfg, dyn, cost, jit=False, donate_state=False)
+
+    def plant(x, u):
+        return dyn(x[None], u[None])[0]
+
+    def info_fn(carry, x):
+        return {"target": jnp.ones((HORIZON, 1), jnp.float32) * 2.0}, carry
+
+    run = make_closed_loop(solver, plant, num_ticks=5, info_fn=info_fn)
+    x0 = jnp.asarray([0.0, 0.0], jnp.float32)
+    st_final, xf, xs, us = run(solver.init(), x0, None)
+
+    # host-driven loop with the same solver/state stream
+    st = solver.init()
+    x = x0
+    for t in range(5):
+        r = solver.solve(st, x, info={"target": jnp.ones((HORIZON, 1)) * 2.0})
+        st = r.state
+        np.testing.assert_allclose(
+            np.asarray(us[t]), np.asarray(r.action_seq[0]), atol=1e-6
+        )
+        x = plant(x, r.action_seq[0])
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(x), atol=1e-6)
