@@ -5,9 +5,11 @@ from mppi_playground_tpu.parallel.mesh import (
     make_mesh,
 )
 from mppi_playground_tpu.parallel.sharded import (
+    BatchedFusedSolver,
     BatchedMPPISolver,
     ShardedFusedSolver,
     ShardedMPPISolver,
+    make_batched_fused_solver,
     make_batched_solver,
     make_sharded_fused_solver,
     make_sharded_solver,
@@ -16,10 +18,12 @@ from mppi_playground_tpu.parallel.sharded import (
 __all__ = [
     "SAMPLE_AXIS",
     "SCENARIO_AXIS",
+    "BatchedFusedSolver",
     "BatchedMPPISolver",
     "ShardedFusedSolver",
     "ShardedMPPISolver",
     "initialize_distributed",
+    "make_batched_fused_solver",
     "make_batched_solver",
     "make_mesh",
     "make_sharded_fused_solver",

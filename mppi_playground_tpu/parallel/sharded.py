@@ -290,3 +290,90 @@ def make_sharded_fused_solver(
     return ShardedFusedSolver(
         config=config, mesh=mesh, init=facade.init, solve=facade.solve
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchedFusedSolver:
+    """Scenario-batched fused solve: a fleet of control problems per tick.
+
+    Scenarios shard data-parallel over the mesh's scenario axis; within a
+    shard they run sequentially under ``lax.map`` (Pallas kernels compose
+    with scan-based control flow, not with ``vmap``).  One dispatched
+    program solves the whole fleet.
+    """
+
+    config: MPPIConfig
+    mesh: Mesh
+    init_batch: Callable[..., MPPIState]
+    solve_batch: Callable[..., SolveResult]
+
+
+def make_batched_fused_solver(
+    config: MPPIConfig,
+    task,
+    dynamics: Dynamics,
+    mesh: Mesh,
+    batch_size: int,
+    scenario_axis: str = SCENARIO_AXIS,
+    jit: bool = True,
+    interpret: Optional[bool] = None,
+) -> BatchedFusedSolver:
+    """Fused Pallas solve over ``batch_size`` independent control problems.
+
+    ``solve_batch(states, x0s, info=None, noise=None)`` takes a batched
+    :class:`MPPIState` pytree (from ``init_batch``), ``[B, dim_state]``
+    initial states, optional shared ``info`` and optional per-scenario
+    noise ``[B, K, T, m]``.
+    """
+    from jax.sharding import PartitionSpec
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
+
+    n_shards = mesh.shape[scenario_axis]
+    if batch_size % n_shards != 0:
+        raise ValueError(
+            f"batch_size ({batch_size}) must divide over "
+            f"{n_shards} scenario shards"
+        )
+    base = make_fused_solver(
+        config, task, dynamics, jit=False, donate_state=False,
+        interpret=interpret,
+    )
+
+    rep = PartitionSpec()
+    shard = PartitionSpec(scenario_axis)
+
+    def init_batch(seed: Optional[int] = None) -> MPPIState:
+        key = jax.random.PRNGKey(config.seed if seed is None else seed)
+        keys = jax.random.split(key, batch_size)
+        return jax.vmap(lambda k: base.init(key=k))(keys)
+
+    def solve_batch(
+        states: MPPIState,
+        x0s: jnp.ndarray,
+        info: Optional[Dict[str, Any]] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> SolveResult:
+        state_specs = jax.tree_util.tree_map(lambda _: shard, states)
+        noise_spec = shard if noise is not None else rep
+
+        def shard_fn(states, x0s, noise):
+            def one(args):
+                st, x0, nz = args
+                return base.solve(st, x0, info=info, noise=nz)
+
+            return jax.lax.map(one, (states, x0s, noise))
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(state_specs, shard, noise_spec),
+            out_specs=shard,  # every output leaf is scenario-batched
+            check_vma=False,
+        )(states, x0s, noise)
+
+    if jit:
+        solve_batch = jax.jit(solve_batch, donate_argnums=(0,))
+
+    return BatchedFusedSolver(
+        config=config, mesh=mesh, init_batch=init_batch, solve_batch=solve_batch
+    )

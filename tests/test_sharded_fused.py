@@ -156,3 +156,36 @@ def test_sharded_fused_racing_task():
     np.testing.assert_allclose(
         np.asarray(rs.action_seq), np.asarray(r1.action_seq), atol=5e-3
     )
+
+
+def test_batched_fused_matches_individual_solves():
+    """Scenario-batched fused solve == per-scenario fused solves."""
+    from mppi_playground_tpu.parallel.sharded import make_batched_fused_solver
+
+    cfg = _config()
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(4, 2))  # 4 scenario shards x 2 sample
+    B = 8
+    batched = make_batched_fused_solver(cfg, task, dyn, mesh, batch_size=B)
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    states = batched.init_batch(seed=0)
+    x0s = jnp.stack(
+        [jnp.asarray([0.1 * i, -0.05 * i], jnp.float32) for i in range(B)]
+    )
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(3), (B, K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rb = batched.solve_batch(states, x0s, info=_info(), noise=noise)
+
+    for b in [0, 3, 7]:
+        st_b = jax.tree_util.tree_map(lambda leaf: leaf[b], states)
+        r1 = single.solve(st_b, x0s[b], info=_info(), noise=noise[b])
+        np.testing.assert_allclose(
+            np.asarray(rb.action_seq[b]), np.asarray(r1.action_seq), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(rb.aux.costs[b]), np.asarray(r1.aux.costs), rtol=1e-6
+        )
