@@ -58,6 +58,7 @@ def make_sharded_solver(
     mesh: Mesh,
     sample_axis: str = SAMPLE_AXIS,
     jit: bool = True,
+    donate_state: bool = True,
 ) -> ShardedMPPISolver:
     """Shard the sample axis of one MPPI solve over ``mesh``.
 
@@ -90,9 +91,20 @@ def make_sharded_solver(
         return base.solve(state, x0, info=info, noise=noise)
 
     if jit:
-        solve = jax.jit(solve, donate_argnums=(0,))
+        solve = jax.jit(solve, donate_argnums=(0,) if donate_state else ())
 
     return ShardedMPPISolver(config=config, mesh=mesh, init=base.init, solve=solve)
+
+
+def _make_init_batch(config: MPPIConfig, base_init, batch_size: int):
+    """Per-scenario keys from the config seed (shared by both fleet solvers)."""
+
+    def init_batch(seed: Optional[int] = None) -> MPPIState:
+        key = jax.random.PRNGKey(config.seed if seed is None else seed)
+        keys = jax.random.split(key, batch_size)
+        return jax.vmap(lambda k: base_init(key=k))(keys)
+
+    return init_batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,6 +126,7 @@ def make_batched_solver(
     scenario_axis: str = SCENARIO_AXIS,
     sample_axis: str = SAMPLE_AXIS,
     jit: bool = True,
+    donate_state: bool = True,
 ) -> BatchedMPPISolver:
     """Solve ``batch_size`` independent control problems per tick.
 
@@ -128,10 +141,7 @@ def make_batched_solver(
         mesh, P(scenario_axis, sample_axis, None, None)
     )
 
-    def init_batch(seed: Optional[int] = None) -> MPPIState:
-        key = jax.random.PRNGKey(config.seed if seed is None else seed)
-        keys = jax.random.split(key, batch_size)
-        return jax.vmap(lambda k: base.init(key=k))(keys)
+    init_batch = _make_init_batch(config, base.init, batch_size)
 
     def solve_one(state, x0, noise, info):
         return base.solve(state, x0, info=info, noise=noise)
@@ -157,7 +167,9 @@ def make_batched_solver(
         )
 
     if jit:
-        solve_batch = jax.jit(solve_batch, donate_argnums=(0,))
+        solve_batch = jax.jit(
+            solve_batch, donate_argnums=(0,) if donate_state else ()
+        )
 
     return BatchedMPPISolver(
         config=config, mesh=mesh, init_batch=init_batch, solve_batch=solve_batch
@@ -317,13 +329,16 @@ def make_batched_fused_solver(
     scenario_axis: str = SCENARIO_AXIS,
     jit: bool = True,
     interpret: Optional[bool] = None,
+    donate_state: bool = True,
 ) -> BatchedFusedSolver:
     """Fused Pallas solve over ``batch_size`` independent control problems.
 
     ``solve_batch(states, x0s, info=None, noise=None)`` takes a batched
     :class:`MPPIState` pytree (from ``init_batch``), ``[B, dim_state]``
     initial states, optional shared ``info`` and optional per-scenario
-    noise ``[B, K, T, m]``.
+    noise ``[B, K, T, m]``.  With ``donate_state=True`` (default) the
+    input states buffers are consumed by the jit — pass False to reuse
+    them after the call.
     """
     from jax.sharding import PartitionSpec
     from mppi_playground_tpu.core.fused_solver import make_fused_solver
@@ -342,10 +357,7 @@ def make_batched_fused_solver(
     rep = PartitionSpec()
     shard = PartitionSpec(scenario_axis)
 
-    def init_batch(seed: Optional[int] = None) -> MPPIState:
-        key = jax.random.PRNGKey(config.seed if seed is None else seed)
-        keys = jax.random.split(key, batch_size)
-        return jax.vmap(lambda k: base.init(key=k))(keys)
+    init_batch = _make_init_batch(config, base.init, batch_size)
 
     def solve_batch(
         states: MPPIState,
@@ -372,7 +384,9 @@ def make_batched_fused_solver(
         )(states, x0s, noise)
 
     if jit:
-        solve_batch = jax.jit(solve_batch, donate_argnums=(0,))
+        solve_batch = jax.jit(
+            solve_batch, donate_argnums=(0,) if donate_state else ()
+        )
 
     return BatchedFusedSolver(
         config=config, mesh=mesh, init_batch=init_batch, solve_batch=solve_batch

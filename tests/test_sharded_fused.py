@@ -167,7 +167,10 @@ def test_batched_fused_matches_individual_solves():
     dyn, _ = _toy_aos()
     mesh = make_mesh(mesh_shape=(4, 2))  # 4 scenario shards x 2 sample
     B = 8
-    batched = make_batched_fused_solver(cfg, task, dyn, mesh, batch_size=B)
+    # states are read again after solve_batch: opt out of donation
+    batched = make_batched_fused_solver(
+        cfg, task, dyn, mesh, batch_size=B, donate_state=False
+    )
     single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
 
     states = batched.init_batch(seed=0)
