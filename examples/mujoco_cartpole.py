@@ -58,14 +58,20 @@ def cost_func(state, action, info):
     )
 
 
-def main(save_mode: bool = False, steps: int = 500):
+def main(save_mode: bool = False, steps: int = 500, render: bool = True):
     import gymnasium as gym
 
     if save_mode:
         env = gym.make("InvertedPendulum-v4", render_mode="rgb_array")
         env = gym.wrappers.RecordVideo(env=env, video_folder="video")
+    elif render:
+        try:
+            env = gym.make("InvertedPendulum-v4", render_mode="human")
+        except Exception as exc:  # headless hosts: no GLFW display
+            print(f"human rendering unavailable ({exc}); running headless")
+            env = gym.make("InvertedPendulum-v4")
     else:
-        env = gym.make("InvertedPendulum-v4", render_mode="human")
+        env = gym.make("InvertedPendulum-v4")
     observation, _ = env.reset(seed=42)
 
     solver = MPPI(
@@ -88,7 +94,8 @@ def main(save_mode: bool = False, steps: int = 500):
         elapsed = time.time() - start
         average_time = i / (i + 1) * average_time + elapsed / (i + 1)
         observation, *_ = env.step(jnp.asarray(action_seq)[0])
-        env.render()
+        if env.render_mode is not None:
+            env.render()
 
     print(f"average solve time: {average_time * 1000}  [ms]")
     env.close()
@@ -98,5 +105,6 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--save-mode", action="store_true")
     parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--no-render", action="store_true")
     args = parser.parse_args()
-    main(save_mode=args.save_mode, steps=args.steps)
+    main(save_mode=args.save_mode, steps=args.steps, render=not args.no_render)
