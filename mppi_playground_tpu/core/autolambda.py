@@ -117,7 +117,7 @@ def lbps_lambda(
     delta: float,
     lambda_min: float,
     lambda_max: float,
-    iters: int = 96,
+    iters: int = 48,
 ) -> jnp.ndarray:
     """On-device LBPS (mppi.py:341-349) via fixed-iteration golden-section.
 
@@ -125,6 +125,12 @@ def lbps_lambda(
     golden-section on the same bounded interval converges to the same
     minimizer for the (empirically unimodal) LBPS objective — equivalence is
     asserted in tests/test_autolambda.py.
+
+    One fresh O(K) objective evaluation per iteration: golden-section's
+    invariant is that one interior point of the shrunk interval coincides
+    with a point already evaluated, so the surviving value is carried
+    through ``jnp.where`` instead of being recomputed.  48 iterations
+    shrink [0.01, 10] below f32 resolution (width ~9e-10).
     """
     dtype = costs.dtype
     invphi = jnp.asarray((jnp.sqrt(5.0) - 1.0) / 2.0, dtype)  # 1/phi
@@ -142,12 +148,16 @@ def lbps_lambda(
 
         new_a = jnp.where(shrink_right, a, c)
         new_b = jnp.where(shrink_right, d, b)
-        new_c = new_b - (new_b - new_a) * invphi
-        new_d = new_a + (new_b - new_a) * invphi
-        # Only one endpoint is fresh per iteration, but evaluating both
-        # keeps the loop branch-free; the objective is O(K) vector math.
-        new_fc = lbps_objective(costs, new_c, delta)
-        new_fd = lbps_objective(costs, new_d, delta)
+        # Shrinking right, old c becomes the new d (fc survives as fd) and
+        # only the new c is fresh; shrinking left, old d becomes the new c.
+        fresh_lo = new_b - (new_b - new_a) * invphi
+        fresh_hi = new_a + (new_b - new_a) * invphi
+        x = jnp.where(shrink_right, fresh_lo, fresh_hi)
+        fx = lbps_objective(costs, x, delta)
+        new_c = jnp.where(shrink_right, x, d)
+        new_fc = jnp.where(shrink_right, fx, fd)
+        new_d = jnp.where(shrink_right, c, x)
+        new_fd = jnp.where(shrink_right, fc, fx)
         return new_a, new_b, new_c, new_d, new_fc, new_fd
 
     a, b, c, d, fc, fd = lax.fori_loop(0, iters, body, (a, b, c, d, fc, fd))

@@ -69,7 +69,9 @@ class MPPIConfig:
     essps_iters: int = 64
     # Number of fixed golden-section iterations for the on-device LBPS
     # scalar minimization (replaces scipy minimize_scalar, mppi.py:344-349).
-    lbps_iters: int = 96
+    # One O(K) objective evaluation per iteration; 48 shrink the default
+    # [0.01, 10] bracket below f32 resolution.
+    lbps_iters: int = 48
     # 'xla' uses pure-JAX ops; 'pallas' enables fused TPU kernels for the
     # softmin weighted-update hot path; 'auto' picks pallas on TPU backends.
     kernel_backend: str = "auto"

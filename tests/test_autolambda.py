@@ -103,6 +103,69 @@ def test_lbps_matches_minimize_scalar(seed):
     np.testing.assert_allclose(ours, scipy_result.x, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_lbps_single_eval_matches_two_eval_reference(seed):
+    """The carried-value golden section equals the recompute-both variant.
+
+    Guards the one-fresh-eval optimization: reusing the surviving interior
+    objective value through jnp.where must land on the same lambda as the
+    original branch-free version that re-evaluated both points for 96
+    iterations.
+    """
+    from jax import lax
+
+    rng = np.random.default_rng(seed)
+    costs_np = rng.uniform(0.0, 20.0, size=800)
+    costs = jnp.asarray(costs_np)
+    delta = 0.01
+
+    def two_eval_lbps(costs, delta, lambda_min, lambda_max, iters=96):
+        dtype = costs.dtype
+        invphi = jnp.asarray((jnp.sqrt(5.0) - 1.0) / 2.0, dtype)
+        a = jnp.asarray(lambda_min, dtype)
+        b = jnp.asarray(lambda_max, dtype)
+        c = b - (b - a) * invphi
+        d = a + (b - a) * invphi
+        fc = autolambda.lbps_objective(costs, c, delta)
+        fd = autolambda.lbps_objective(costs, d, delta)
+
+        def body(_, carry):
+            a, b, c, d, fc, fd = carry
+            shrink_right = fc < fd
+            new_a = jnp.where(shrink_right, a, c)
+            new_b = jnp.where(shrink_right, d, b)
+            new_c = new_b - (new_b - new_a) * invphi
+            new_d = new_a + (new_b - new_a) * invphi
+            new_fc = autolambda.lbps_objective(costs, new_c, delta)
+            new_fd = autolambda.lbps_objective(costs, new_d, delta)
+            return new_a, new_b, new_c, new_d, new_fc, new_fd
+
+        a, b, *_ = lax.fori_loop(0, iters, body, (a, b, c, d, fc, fd))
+        return 0.5 * (a + b)
+
+    ours = float(autolambda.lbps_lambda(costs, delta, LAMBDA_MIN, LAMBDA_MAX))
+    ref = float(two_eval_lbps(costs, delta, LAMBDA_MIN, LAMBDA_MAX))
+
+    # In exact arithmetic the two are identical; in f32 the carried point
+    # differs from the recomputed one by one ulp, so once the bracket
+    # approaches f32 resolution a shrink decision can flip on the flat
+    # tail of the objective and the minimizer locations drift by ~1e-4
+    # relative.  Assert what the algorithm guarantees: the same achieved
+    # objective (f64 oracle) and a nearby location.
+    def np_objective(lam):
+        w = _np_weights(costs_np, lam)
+        ess = 1.0 / np.sum(w**2)
+        expected_return = -np.sum(w * costs_np)
+        cost_range = costs_np.max() - costs_np.min()
+        penalty = cost_range * math.sqrt((1 - delta) / delta) / math.sqrt(ess)
+        return -(expected_return - penalty)
+
+    np.testing.assert_allclose(
+        np_objective(ours), np_objective(ref), rtol=1e-7, atol=1e-8
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
 def test_mpo_step_matches_torch_adam():
     torch = pytest.importorskip("torch")
 
