@@ -90,8 +90,8 @@ class MPPI:
             if store_rollouts:
                 raise ValueError(
                     "fused_task requires store_rollouts=False (the fused "
-                    "kernel keeps rollouts implicit; get_top_samples needs "
-                    "the XLA path)"
+                    "kernel keeps rollouts implicit; get_top_samples "
+                    "regenerates them from the PRNG seeds on demand)"
                 )
             from mppi_playground_tpu.core.fused_solver import make_fused_solver
             from mppi_playground_tpu.ops.fused_solve import (
@@ -109,6 +109,7 @@ class MPPI:
             self._solver = make_solver(self.config, dynamics, cost_func)
         self._state = self._solver.init()
         self._last_aux: Optional[SolveAux] = None
+        self._last_noise: Optional[jnp.ndarray] = None
         self._diag_key = jax.random.PRNGKey(seed + 1)
 
     # ------------------------------------------------------------------
@@ -148,20 +149,32 @@ class MPPI:
         result = self._solver.solve(self._state, state, info=info, noise=noise)
         self._state = result.state
         self._last_aux = result.aux
+        self._last_noise = noise  # fused top-k replay must reuse it
         return result.action_seq, result.state_seq
 
     __call__ = forward
 
     # ------------------------------------------------------------------
     def get_top_samples(self, num_samples: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Top-weighted rollouts from the last solve (mppi.py:462-487)."""
-        if self._last_aux is None or self._last_aux.state_seq_batch is None:
-            raise RuntimeError(
-                "get_top_samples requires a prior forward() with "
-                "store_rollouts=True."
+        """Top-weighted rollouts from the last solve (mppi.py:462-487).
+
+        On the XLA path these are read from the stored rollout batch; on
+        the fused path the winning perturbations are regenerated from the
+        solve's per-tile PRNG seeds and re-rolled (rollouts never hit HBM).
+        """
+        if self._last_aux is None:
+            raise RuntimeError("get_top_samples requires a prior forward().")
+        if self._last_aux.state_seq_batch is not None:
+            return diagnostics.top_samples(
+                self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
             )
-        return diagnostics.top_samples(
-            self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
+        if self._solver.top_samples is not None:
+            return self._solver.top_samples(
+                self._last_aux, num_samples, noise=self._last_noise
+            )
+        raise RuntimeError(
+            "get_top_samples requires store_rollouts=True or the fused "
+            "solver (which regenerates rollouts from seeds)."
         )
 
     def get_samples_from_posterior(

@@ -15,13 +15,16 @@ regenerates the perturbations from the same per-tile seeds and weights
 them at the final lambda — recompute instead of materializing [K, T, m].
 
 Scope (asserted): f32, no rollout storage, ``horizon * dim_control <=
-128``.  Diagnostics that need per-sample trajectories use the XLA path;
-the two are numerically equivalent given the same noise
-(tests/test_fused_solve.py).
+128``.  ``get_top_samples`` works without stored rollouts: the winning
+perturbations are regenerated from the solve's per-tile PRNG seeds (or
+its injected noise) by a ``pert_dump`` kernel pass and re-rolled
+(mppi.py:462-487).  The XLA and fused paths are numerically equivalent
+given the same noise (tests/test_fused_solve.py).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -163,6 +166,8 @@ def make_fused_solver(
         aux = SolveAux(
             costs=costs, weights=weights, lam=lam, ess=ess,
             state_seq_batch=None,
+            # replay handles for get_top_samples (seed regeneration)
+            seed=seed, x0=x0, prev_action_seq=state.previous_action_seq,
         )
         return SolveResult(optimal_action_seq, optimal_state_seq, new_state, aux)
 
@@ -174,9 +179,35 @@ def make_fused_solver(
         solve_fn = solve
         states_prediction_jit = states_prediction
 
+    # ------------------------------------------------------------------
+    # get_top_samples on the fused path (mppi.py:462-487): rollouts are
+    # never stored, so regenerate the perturbed sequences from the solve's
+    # per-tile PRNG seeds (or its injected noise), pick the top-n by
+    # weight, and re-roll just those n through the dynamics.
+    run_regen = getattr(solve_core, "run_regen", None)
+
+    @functools.lru_cache(maxsize=8)
+    def _top_fn(n: int, with_noise: bool):
+        def top(x0, prev_seq, seed, weights, noise):
+            pert = run_regen(prev_seq, seed, noise)
+            top_w, top_idx = jax.lax.top_k(weights, n)
+            state_seqs = states_prediction(x0, pert[top_idx])
+            return state_seqs, top_w
+
+        return jax.jit(top) if jit else top
+
+    def top_samples(aux: SolveAux, n: int, noise=None):
+        """(state_seqs [n, T+1, dim_state], weights [n]), weight-descending."""
+        assert aux.seed is not None, "aux must come from a fused solve"
+        assert n <= config.num_samples
+        return _top_fn(int(n), noise is not None)(
+            aux.x0, aux.prev_action_seq, aux.seed, aux.weights, noise
+        )
+
     return MPPISolver(
         config=config,
         init=init,
         solve=solve_fn,
         states_prediction=states_prediction_jit,
+        top_samples=top_samples if run_regen is not None else None,
     )

@@ -66,6 +66,12 @@ class SolveAux(NamedTuple):
     lam: jnp.ndarray  # temperature used for weighting this tick
     ess: jnp.ndarray  # effective sample size of the weights
     state_seq_batch: Optional[jnp.ndarray]  # [K, T+1, n] if store_rollouts
+    # Fused-solver replay handles (None on the XLA path): the per-tick
+    # kernel seed, initial state and warm start let get_top_samples
+    # regenerate the winning perturbations instead of storing rollouts.
+    seed: Optional[jnp.ndarray] = None
+    x0: Optional[jnp.ndarray] = None
+    prev_action_seq: Optional[jnp.ndarray] = None
 
 
 class SolveResult(NamedTuple):
@@ -83,6 +89,12 @@ class MPPISolver:
     init: Callable[..., MPPIState]
     solve: Callable[..., SolveResult]
     states_prediction: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    # Fused solvers only: ``top_samples(aux, n, noise=None) -> (state_seqs
+    # [n, T+1, dim_state], weights [n])`` — regenerates the winning
+    # perturbations from the solve's PRNG seeds (rollouts are never
+    # stored on the fused path).  The XLA path reads aux.state_seq_batch
+    # via ``core.diagnostics.top_samples`` instead.
+    top_samples: Optional[Callable] = None
 
 
 def _rollout_and_costs(

@@ -116,6 +116,7 @@ class RacingController:
         self.current_path_index = jnp.asarray(0, jnp.int32)
         self.reference_path: Optional[jnp.ndarray] = None
         self._last_aux = None
+        self._last_noise = None
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
@@ -132,6 +133,7 @@ class RacingController:
         self.current_path_index = jnp.asarray(0, jnp.int32)
         self.reference_path = None
         self._last_aux = None
+        self._last_noise = None
 
     def update(
         self, state: jnp.ndarray, noise: Optional[jnp.ndarray] = None
@@ -143,13 +145,25 @@ class RacingController:
         )
         self.solver_state = result.state
         self._last_aux = result.aux
+        self._last_noise = noise
         return result.action_seq, result.state_seq
 
     def get_top_samples(
         self, num_samples: int = 300
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        if self._last_aux is None or self._last_aux.state_seq_batch is None:
+        """Top-weighted rollouts (mppi.py:462-487, navigation2d.py:47-52).
+
+        The fused backend regenerates the winning perturbations from the
+        solve's per-tile PRNG seeds instead of storing rollouts.
+        """
+        if self._last_aux is None:
             raise RuntimeError("get_top_samples requires a prior update().")
-        return diagnostics.top_samples(
-            self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
-        )
+        if self._last_aux.state_seq_batch is not None:
+            return diagnostics.top_samples(
+                self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
+            )
+        if self._solver.top_samples is not None:
+            return self._solver.top_samples(
+                self._last_aux, num_samples, noise=self._last_noise
+            )
+        raise RuntimeError("get_top_samples requires rollout storage or fused.")

@@ -51,7 +51,28 @@ SUBLANES = 8
 # at flagship shapes — the unrolled pert slots dominate live registers.
 TILE = SUBLANES * LANES
 _TWO_PI = 2.0 * np.pi
-_SEED_MIX = 0x3779B1  # per-tile stream offset (int32-safe odd constant)
+# int32-safe (< 2^31) odd constants for the per-tile seed hash below.
+_HASH_MUL = 0x45D9F3B
+_TILE_MUL = 0x632BE5AB
+
+
+def _mix_seed(seed, tile):
+    """Hash (per-tick seed, tile id) into a decorrelated PRNG seed.
+
+    An additive offset (``seed + tile * C``) makes tile ``i`` of tick A
+    collide with tile ``j`` of tick B whenever ``seedA - seedB == (j - i)
+    * C`` — with ~98 tiles alive per solve at flagship scale, structured
+    birthday collisions recur over long runs and replay identical
+    1024-sample noise blocks.  Mixing both words through an
+    integer hash (xor-shift / odd-multiply rounds, bijective mod 2^32)
+    spreads collisions over the full 2^32 space instead.
+    """
+    h = seed ^ (tile * jnp.int32(_TILE_MUL))
+    h = h ^ (h >> 16)
+    h = h * jnp.int32(_HASH_MUL)
+    h = h ^ (h >> 16)
+    h = h * jnp.int32(_HASH_MUL)
+    return h ^ (h >> 16)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +122,9 @@ def fused_envelope(config) -> bool:
 
     return (
         config.horizon * config.dim_control <= LANES
+        # make_fused_reroll packs the state into vreg lanes (build-time
+        # assert); the gate must cover it so wide states fall back to XLA
+        and config.dim_state <= LANES
         and config.dtype == _jnp.float32
         and not config.store_rollouts
     )
@@ -212,13 +236,16 @@ def make_fused_solve(
 
     def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
                noise_mode: bool, smem_keys: Tuple[str, ...],
-               weighted_only: bool = False):
+               weighted_only: bool = False, pert_dump: bool = False):
         # ``weighted_only`` is the auto-lambda second phase: costs are an
         # input (computed by the full kernel at a provisional lambda), the
         # rollout is skipped, and the perturbations are *regenerated* from
         # the same per-tile seeds — recompute instead of materializing the
         # [K, T, m] tensor in HBM.
-        if weighted_only:
+        # ``pert_dump`` is the diagnostics mode (get_top_samples on the
+        # fused path): regenerate the perturbed action sequences from the
+        # same seeds and write them out, skipping rollout and softmin.
+        if weighted_only or pert_dump:
             vmem_refs = ()
             smem_refs = {}
             idx = 0
@@ -229,7 +256,9 @@ def make_fused_solve(
             idx = n_vmem + len(smem_keys)
         noise_ref = refs[idx] if noise_mode else None
         idx += 1 if noise_mode else 0
-        if weighted_only:
+        if pert_dump:
+            pert_ref = refs[idx]
+        elif weighted_only:
             costs_in_ref = refs[idx]
             stats_ref, numer_ref = refs[idx + 1 : idx + 3]
         else:
@@ -240,7 +269,7 @@ def make_fused_solve(
         # invariant to the mesh shape (SURVEY.md §7 hard part #6).
         i = offset_ref[0] + pl.program_id(0)
         vmem_vals = (
-            None if weighted_only
+            None if (weighted_only or pert_dump)
             else vmem_treedef.unflatten([r[:] for r in vmem_refs])
         )
 
@@ -250,7 +279,7 @@ def make_fused_solve(
 
         # --- noise + perturbed action sequences (mppi.py:255-274) ---
         if not noise_mode:
-            pltpu.prng_seed(seed_ref[0] + i * _SEED_MIX)
+            pltpu.prng_seed(_mix_seed(seed_ref[0], i))
         use_prev = sidx < threshold
         if not noise_mode:
             zs = []
@@ -275,6 +304,12 @@ def make_fused_solve(
                     v = jnp.where(use_prev, mean + z, z)
                 row.append(jnp.clip(v, u_min[j], u_max[j]))
             pert.append(row)
+
+        if pert_dump:
+            for t in range(horizon):
+                for j in range(dim_control):
+                    pert_ref[t * dim_control + j, :, :] = pert[t][j]
+            return
 
         if weighted_only:
             acc = costs_in_ref[:, :]
@@ -506,6 +541,65 @@ def make_fused_solve(
         )(*args)
         return stats[:, 0, :], numer[:, 0, :]
 
+    def run_regen(
+        prev_action_seq: jnp.ndarray,
+        seed: jnp.ndarray,
+        noise: Optional[jnp.ndarray] = None,
+        tile_offset=0,
+    ) -> jnp.ndarray:
+        """Regenerate the solve's perturbed action sequences -> [K, T, m].
+
+        Diagnostics path for ``get_top_samples`` on the fused solver
+        (mppi.py:462-487): the solve never materializes perturbations or
+        rollouts, so this replays the exact per-tile PRNG streams (or the
+        injected noise) of a prior ``run_kernel`` with the same
+        ``(prev_action_seq, seed)`` and dumps the clamped sequences.  One
+        HBM write pass of K*T*m floats, off the hot path.
+        """
+        noise_mode = noise is not None
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 placeholder [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # prev [T, m]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lam placeholder [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile offset [1]
+        ]
+        args = [
+            jnp.zeros((1,), jnp.float32),
+            jnp.asarray(prev_action_seq, jnp.float32),
+            jnp.ones((1,), jnp.float32),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(tile_offset, jnp.int32).reshape(1),
+        ]
+        if noise_mode:
+            _append_noise_input(in_specs, args, noise)
+
+        pert = pl.pallas_call(
+            functools.partial(
+                kernel, noise_mode=noise_mode, smem_keys=(), pert_dump=True
+            ),
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (d_flat, SUBLANES, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (d_flat, k_pad // LANES, LANES), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            interpret=interpret,
+        )(*args)
+        # invert the noise-input layout: [d_flat, rows, lanes] -> [K, T, m]
+        return (
+            pert.reshape(d_flat, k_pad)
+            .T[:num_local]
+            .reshape(num_local, horizon, dim_control)
+        )
+
     def combine_partials(costs, stats, numer, lam, axis_name: Optional[str] = None):
         """Merge tile partials into (update, weights, ess).
 
@@ -547,5 +641,6 @@ def make_fused_solve(
 
     solve_core.run_kernel = run_kernel
     solve_core.run_weighted = run_weighted
+    solve_core.run_regen = run_regen
     solve_core.combine_partials = combine_partials
     return solve_core

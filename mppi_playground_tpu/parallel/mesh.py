@@ -28,6 +28,7 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    single_host: bool = False,
 ) -> None:
     """Initialize multi-host JAX.
 
@@ -37,7 +38,17 @@ def initialize_distributed(
     On TPU pods call with no arguments (everything is auto-detected from
     the pod environment); elsewhere pass the coordinator explicitly.
     Safe to call redundantly: an already-initialized runtime is left as-is.
+
+    Args:
+        single_host: explicit no-op escape hatch for scripts that run the
+            same code path on single-host dev machines and multi-host
+            pods — ``jax.distributed.initialize`` raises on single-host
+            non-pod environments, and silently swallowing that would mask
+            real bootstrap failures on pods, so opting out must be
+            explicit.
     """
+    if single_host:
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -227,6 +227,69 @@ def test_fused_sg_filter_matches():
     )
 
 
+def test_fused_top_samples_matches_xla():
+    """get_top_samples on the fused path == XLA stored-rollout top-k.
+
+    The fused solve never materializes rollouts; top_samples regenerates
+    the winning perturbations (here: re-reads the injected noise) and
+    re-rolls only those.  Must equal the XLA path's topk over the stored
+    [K, T+1, n] batch (mppi.py:462-487).
+    """
+    from mppi_playground_tpu.core import diagnostics
+
+    cfg_f = _config()
+    cfg_x = _config(store_rollouts=True)
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg_f, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg_x, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.asarray([0.3, -0.1], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(21), (K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rf = fused.solve(fused.init(), x0, info=_info(), noise=noise)
+    rx = xla.solve(xla.init(), x0, info=_info(), noise=noise)
+
+    assert fused.top_samples is not None
+    n = 50
+    seqs_f, w_f = fused.top_samples(rf.aux, n, noise=noise)
+    seqs_x, w_x = diagnostics.top_samples(rx.aux.state_seq_batch, rx.aux.weights, n)
+
+    assert seqs_f.shape == (n, HORIZON + 1, 2)
+    assert w_f.shape == (n,)
+    np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_x), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(seqs_f), np.asarray(seqs_x), atol=5e-4
+    )
+    # descending weights
+    wf = np.asarray(w_f)
+    assert (wf[:-1] >= wf[1:]).all()
+
+
+def test_fused_top_samples_two_phase_auto_lambda():
+    """Top-k replay works after the ESSPS two-phase solve (same seeds)."""
+    from mppi_playground_tpu.core import diagnostics
+
+    cfg_f = _config(lambda_="ESSPS")
+    cfg_x = _config(lambda_="ESSPS", store_rollouts=True)
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg_f, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg_x, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.asarray([0.0, 0.0], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(23), (K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rf = fused.solve(fused.init(), x0, info=_info(), noise=noise)
+    rx = xla.solve(xla.init(), x0, info=_info(), noise=noise)
+    seqs_f, w_f = fused.top_samples(rf.aux, 20, noise=noise)
+    seqs_x, w_x = diagnostics.top_samples(rx.aux.state_seq_batch, rx.aux.weights, 20)
+    np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seqs_f), np.asarray(seqs_x), atol=5e-4)
+
+
 def test_row_interval_query_matches_grid():
     rng = np.random.default_rng(0)
     grid = (rng.random((200, 160)) < 0.2).astype(float)
