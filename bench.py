@@ -7,15 +7,28 @@ the available accelerator, the workload named by BASELINE.json's
 north-star ("racing at horizon 50, 100k samples, >=100 solves/s on a v5p
 slice").
 
+Two serving modes are measured:
+
+* **host-driven** (the headline ``value``): one dispatched program per
+  control tick, the action available on host every tick — the real-time
+  control mode.  Reported as the median of ``WINDOWS`` timing windows of
+  ``ITERS`` ticks each, because single-window timings through the device
+  tunnel vary run-to-run by ~20% (the ~0.7 ms per-dispatch floor is
+  environmental; see docs/ARCHITECTURE.md).
+* **amortized-episode** (``extra.amortized_solves_per_s``): N ticks
+  scanned inside ONE program (``core/closed_loop.py``) — the simulation /
+  data-generation mode, which pays the dispatch cost once per episode.
+
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 reports against the 100 solves/s north-star target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import jax
@@ -24,8 +37,11 @@ import jax.numpy as jnp
 HORIZON = 50
 NUM_SAMPLES = 100_000
 TARGET_SOLVES_PER_S = 100.0  # BASELINE.json north star
-WARMUP = 3
-ITERS = 30
+WARMUP = 5
+WINDOWS = 5
+ITERS = 50
+EPISODE_TICKS = 50
+EPISODE_WINDOWS = 3
 
 
 def build():
@@ -75,36 +91,84 @@ def build():
     return env, solver, tick
 
 
-def main() -> None:
-    env, solver, tick = build()
+def measure_host_driven(env, solver, tick, windows, iters):
+    """Median-of-windows solves/s of the per-tick dispatch mode."""
     x = env.reset()
     state = solver.init()
     cind = jnp.asarray(0, jnp.int32)
 
-    # warmup (compile + steady state)
-    for _ in range(WARMUP):
+    for _ in range(WARMUP):  # compile + steady state
         action_seq, state, cind = tick(state, cind, x)
     jax.block_until_ready(action_seq)
 
-    start = time.perf_counter()
-    for _ in range(ITERS):
-        action_seq, state, cind = tick(state, cind, x)
-    jax.block_until_ready(action_seq)
-    elapsed = time.perf_counter() - start
+    rates = []
+    for _ in range(windows):
+        start = time.perf_counter()
+        for _ in range(iters):
+            action_seq, state, cind = tick(state, cind, x)
+        jax.block_until_ready(action_seq)
+        rates.append(iters / (time.perf_counter() - start))
+    return statistics.median(rates), rates
 
-    solves_per_s = ITERS / elapsed
-    rollouts_per_s = solves_per_s * NUM_SAMPLES
+
+def measure_amortized(env, solver):
+    """Solves/s with EPISODE_TICKS ticks scanned inside one program."""
+    from mppi_playground_tpu.core.closed_loop import make_closed_loop
+    from mppi_playground_tpu.models.racing_mpcc import calc_ref_trajectory
+
+    path = env.racing_center_path
+
+    def info_fn(cind, x):
+        xref, new_cind = calc_ref_trajectory(x, path, cind, HORIZON)
+        return {"reference_path": xref}, new_cind
+
+    run = make_closed_loop(
+        solver, lambda x, u: env.dynamics(x[None], u[None])[0],
+        EPISODE_TICKS, info_fn=info_fn,
+    )
+    x0 = env.reset()
+    st = solver.init()
+    cind = jnp.asarray(0, jnp.int32)
+    out = run(st, x0, cind)  # compile
+    jax.block_until_ready(out[1])
+
+    rates = []
+    for _ in range(EPISODE_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = run(st, x0, cind)
+        jax.block_until_ready(out[1])
+        rates.append(3 * EPISODE_TICKS / (time.perf_counter() - t0))
+    return statistics.median(rates)
+
+
+def main() -> None:
+    env, solver, tick = build()
+    on_tpu = jax.default_backend() == "tpu"
+    # CPU sanity runs use one short window (a flagship solve takes seconds
+    # per tick off-accelerator); the recorded numbers come from TPU runs.
+    windows = WINDOWS if on_tpu else 1
+    iters = ITERS if on_tpu else 3
+
+    solves_per_s, rates = measure_host_driven(env, solver, tick, windows, iters)
+    amortized = measure_amortized(env, solver) if on_tpu else None
+
+    extra = {
+        "rollouts_per_s": round(solves_per_s * NUM_SAMPLES),
+        "solve_ms": round(1000.0 / solves_per_s, 3),
+        "windows": [round(r, 1) for r in rates],
+        "device": str(jax.devices()[0]),
+        "backend": jax.default_backend(),
+    }
+    if amortized is not None:
+        extra["amortized_solves_per_s"] = round(amortized, 1)
+        extra["amortized_solve_ms"] = round(1000.0 / amortized, 3)
     result = {
         "metric": f"racing_mppi_solves_per_s_h{HORIZON}_k{NUM_SAMPLES}",
         "value": round(solves_per_s, 3),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 4),
-        "extra": {
-            "rollouts_per_s": round(rollouts_per_s),
-            "solve_ms": round(1000.0 * elapsed / ITERS, 3),
-            "device": str(jax.devices()[0]),
-            "backend": jax.default_backend(),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 
