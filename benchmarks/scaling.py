@@ -31,6 +31,87 @@ WARMUP = 3
 ITERS = 20
 
 
+def measure_kernel_fraction():
+    """Split the flagship tick into kernel vs serial-tail time (TPU).
+
+    The sharded solve's efficiency model is
+    ``eff(n) = t_tick(1) / (n * (t_kernel/n + t_serial))`` — the K-sample
+    kernel scales linearly over shards while the serial tail (reference
+    generation, partials combine, nominal re-roll, dispatch) does not.
+    This measures both terms on the real racing workload so the model in
+    docs/ARCHITECTURE.md uses hardware numbers.
+    """
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
+    from mppi_playground_tpu.envs.racing_env import RacingEnv
+    from mppi_playground_tpu.models.racing_mpcc import (
+        calc_ref_trajectory,
+        make_racing_fused_task,
+    )
+    from mppi_playground_tpu.ops.fused_solve import make_fused_solve
+
+    horizon, k = 50, 100_000
+    env = RacingEnv()
+    config = MPPIConfig(
+        horizon=horizon, num_samples=k, dim_state=4, dim_control=2,
+        u_min=tuple(float(v) for v in env.u_min.tolist()),
+        u_max=tuple(float(v) for v in env.u_max.tolist()),
+        sigmas=(0.5, 0.1), lambda_=1.0, store_rollouts=False,
+    )
+    task = make_racing_fused_task(
+        env.obstacle_map.row_interval_table,
+        env.lane_map.row_interval_table,
+        x_lim=tuple(env.obstacle_map.x_lim),
+        y_lim=tuple(env.obstacle_map.y_lim),
+    )
+    core = make_fused_solve(config, task)
+    solver = make_fused_solver(config, task, env.dynamics, jit=False)
+    path = env.racing_center_path
+    x0 = env.reset()
+    xref, _ = calc_ref_trajectory(x0, path, jnp.asarray(0, jnp.int32), horizon)
+    smem = task.smem_builder({"reference_path": xref})
+    prev = jnp.zeros((horizon, 2), jnp.float32)
+
+    kernel_only = jax.jit(
+        lambda seed: core.run_kernel(x0, prev, jnp.asarray(1.0), seed, smem)
+    )
+
+    def tick(st, cind, x):
+        ref, new_cind = calc_ref_trajectory(x, path, cind, horizon)
+        r = solver.solve(st, x, info={"reference_path": ref})
+        return r.action_seq, r.state, new_cind
+
+    tick = jax.jit(tick)
+
+    def timed(fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(50):
+            out = fn(*a)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0) / 50
+
+    t_kernel = timed(kernel_only, jnp.asarray(7, jnp.int32))
+    st = solver.init()
+    t_tick = timed(tick, st, jnp.asarray(0, jnp.int32), x0)
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_kernel_fraction",
+                "value": round(t_kernel / t_tick, 4),
+                "unit": "fraction",
+                "extra": {
+                    "kernel_ms": round(1e3 * t_kernel, 3),
+                    "tick_ms": round(1e3 * t_tick, 3),
+                    "serial_tail_ms": round(1e3 * (t_tick - t_kernel), 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=None)
@@ -41,10 +122,18 @@ def main():
         "multi-chip slice); the image's sitecustomize force-registers the "
         "TPU plugin, so the platform must be re-overridden here",
     )
+    ap.add_argument(
+        "--fraction", action="store_true",
+        help="measure the flagship kernel/serial-tail split instead "
+        "(feeds the analytic scaling model in docs/ARCHITECTURE.md)",
+    )
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu)
+    if args.fraction:
+        measure_kernel_fraction()
+        return
 
     from mppi_playground_tpu.core.config import MPPIConfig
     from mppi_playground_tpu.models import bicycle

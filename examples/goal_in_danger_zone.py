@@ -22,7 +22,7 @@ from mppi_playground_tpu import MPPI
 from mppi_playground_tpu.envs import GoalInDangerZoneEnv
 
 
-def main(save_mode: bool = False, render: bool = True):
+def main(save_mode: bool = False, render: bool = True, max_steps: int = None):
     seed = 42
     random.seed(seed)
     np.random.seed(seed)
@@ -46,7 +46,8 @@ def main(save_mode: bool = False, render: bool = True):
     obs, info = env.reset(seed=seed)
     episodic_reward = 0.0
     episodic_cost = 0.0
-    for i in range(env.max_episode_steps):
+    steps = env.max_episode_steps if max_steps is None else max_steps
+    for i in range(steps):
         action_seq, predicted_traj = solver.forward(
             state=jnp.asarray(obs, jnp.float32)
         )
@@ -70,12 +71,15 @@ def main(save_mode: bool = False, render: bool = True):
 
     print("episodic reward: ", episodic_reward)
     print("episodic cost: ", episodic_cost)
-    env.close()
+    # save_mode: write the captured frames as a gif, like the other envs
+    env.close(path=f"video/goal_in_danger_zone_{seed}.gif" if save_mode else None)
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--save-mode", action="store_true")
     parser.add_argument("--no-render", action="store_true")
+    parser.add_argument("--max-steps", type=int, default=None)
     args = parser.parse_args()
-    main(save_mode=args.save_mode, render=not args.no_render)
+    main(save_mode=args.save_mode, render=not args.no_render,
+         max_steps=args.max_steps)

@@ -58,3 +58,41 @@ def test_danger_zone_example_runs(capsys):
     ex.main(save_mode=False, render=False)
     out = capsys.readouterr().out
     assert "episodic reward" in out and "episodic cost" in out
+
+
+@pytest.mark.slow
+def test_racing_example_saves_gif(capsys, tmp_path, monkeypatch):
+    """save_mode writes the gif artifact like the reference's video export
+    (racing.py:241-251 / racing_env.py:313-325)."""
+    monkeypatch.chdir(tmp_path)
+    from examples import racing as ex
+
+    ex.main(save_mode=True, max_steps=2, render=True)
+    assert "average solve time" in capsys.readouterr().out
+    assert (tmp_path / "video" / "racing_42.gif").exists()
+
+
+@pytest.mark.slow
+def test_danger_zone_example_saves_gif(capsys, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import goal_in_danger_zone as ex
+
+    ex.main(save_mode=True, max_steps=2)
+    out = capsys.readouterr().out
+    assert "episodic reward" in out
+    assert (tmp_path / "video" / "goal_in_danger_zone_42.gif").exists()
+
+
+def test_mujoco_example_runs(capsys):
+    """Approximate-dynamics mujoco demo (mujoco_cartpole.py); skipped when
+    the mujoco stack is unavailable."""
+    pytest.importorskip("mujoco")
+    gym = pytest.importorskip("gymnasium")
+    try:
+        gym.make("InvertedPendulum-v4").close()
+    except Exception as exc:  # missing assets / GL stack
+        pytest.skip(f"InvertedPendulum-v4 unavailable: {exc}")
+    from examples import mujoco_cartpole as ex
+
+    ex.main(save_mode=False, steps=2, render=False)
+    assert "average solve time" in capsys.readouterr().out
