@@ -52,7 +52,7 @@ def build():
     from mppi_playground_tpu.models.racing_mpcc import (
         calc_ref_trajectory,
         make_mpcc_cost,
-        make_racing_fused_task,
+        make_racing_fused_task_from_env,
     )
     from mppi_playground_tpu.ops.fused_solve import fused_supported
 
@@ -70,12 +70,7 @@ def build():
     )
     if fused_supported():
         # one Pallas kernel per tick (ops/fused_solve.py)
-        task = make_racing_fused_task(
-            env.obstacle_map.row_interval_table,
-            env.lane_map.row_interval_table,
-            x_lim=tuple(env.obstacle_map.x_lim),
-            y_lim=tuple(env.obstacle_map.y_lim),
-        )
+        task = make_racing_fused_task_from_env(env)
         solver = make_fused_solver(config, task, env.dynamics, jit=False)
     else:
         cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)

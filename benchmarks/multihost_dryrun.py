@@ -118,7 +118,7 @@ def _child(process_id: int, port: int) -> None:
     )
 
 
-def main() -> int:
+def _run_once() -> tuple[bool, list]:
     with socket.socket() as s:  # pick a free coordinator port
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -158,6 +158,18 @@ def main() -> int:
         )
     else:
         ok = False
+    return ok, reports
+
+
+def main() -> int:
+    # bind-then-close port picking leaves a TOCTOU window in which another
+    # process can claim the port before the children rendezvous; retry on
+    # a fresh port instead of reporting a spurious failure
+    for attempt in range(3):
+        ok, reports = _run_once()
+        if ok:
+            break
+        sys.stderr.write(f"attempt {attempt} failed; retrying\n")
 
     print(
         json.dumps(

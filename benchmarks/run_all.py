@@ -131,7 +131,7 @@ def main():
     from mppi_playground_tpu.core.fused_solver import make_fused_solver
     from mppi_playground_tpu.models.racing_mpcc import (
         calc_ref_trajectory,
-        make_racing_fused_task,
+        make_racing_fused_task_from_env,
     )
     from mppi_playground_tpu.ops.fused_solve import fused_supported
 
@@ -142,12 +142,7 @@ def main():
             u_min=(-2.0, -0.25), u_max=(2.0, 0.25), sigmas=(0.5, 0.1),
             lambda_=1.0, store_rollouts=False,
         )
-        task = make_racing_fused_task(
-            renv.obstacle_map.row_interval_table,
-            renv.lane_map.row_interval_table,
-            x_lim=tuple(renv.obstacle_map.x_lim),
-            y_lim=tuple(renv.obstacle_map.y_lim),
-        )
+        task = make_racing_fused_task_from_env(renv)
         solver = make_fused_solver(config, task, renv.dynamics, jit=False)
         path = renv.racing_center_path
 

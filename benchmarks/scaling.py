@@ -46,7 +46,7 @@ def measure_kernel_fraction():
     from mppi_playground_tpu.envs.racing_env import RacingEnv
     from mppi_playground_tpu.models.racing_mpcc import (
         calc_ref_trajectory,
-        make_racing_fused_task,
+        make_racing_fused_task_from_env,
     )
     from mppi_playground_tpu.ops.fused_solve import make_fused_solve
 
@@ -58,12 +58,7 @@ def measure_kernel_fraction():
         u_max=tuple(float(v) for v in env.u_max.tolist()),
         sigmas=(0.5, 0.1), lambda_=1.0, store_rollouts=False,
     )
-    task = make_racing_fused_task(
-        env.obstacle_map.row_interval_table,
-        env.lane_map.row_interval_table,
-        x_lim=tuple(env.obstacle_map.x_lim),
-        y_lim=tuple(env.obstacle_map.y_lim),
-    )
+    task = make_racing_fused_task_from_env(env)
     core = make_fused_solve(config, task)
     solver = make_fused_solver(config, task, env.dynamics, jit=False)
     path = env.racing_center_path

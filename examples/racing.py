@@ -30,8 +30,8 @@ def main(
     fused: bool = False,
 ):
     env = RacingEnv()
-    # --fused: one Pallas kernel per tick; rollouts stay implicit, so the
-    # top-sample overlay is unavailable (rendering skips it)
+    # --fused: one Pallas kernel per tick; rollouts stay implicit and the
+    # top-sample overlay is regenerated from the solve's PRNG seeds
     controller = RacingController(
         env,
         store_rollouts=not fused,
@@ -49,9 +49,7 @@ def main(
 
         state, is_goal_reached = env.step(action_seq[0])
         is_collisions = env.collision_check(state=state_seq[None])
-        top = None
-        if not fused:
-            top = controller.get_top_samples(num_samples=300)
+        top = controller.get_top_samples(num_samples=300)
 
         if render:
             env.render(

@@ -136,6 +136,11 @@ class MPPI:
             mpo_log_temperature=self._state.mpo_log_temperature,
             mpo_opt_state=self._state.mpo_opt_state,
         )
+        # diagnostics refer to the previous episode; drop them so
+        # get_top_samples after reset raises instead of replaying stale
+        # trajectories
+        self._last_aux = None
+        self._last_noise = None
 
     def forward(
         self,
@@ -162,19 +167,8 @@ class MPPI:
         the fused path the winning perturbations are regenerated from the
         solve's per-tile PRNG seeds and re-rolled (rollouts never hit HBM).
         """
-        if self._last_aux is None:
-            raise RuntimeError("get_top_samples requires a prior forward().")
-        if self._last_aux.state_seq_batch is not None:
-            return diagnostics.top_samples(
-                self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
-            )
-        if self._solver.top_samples is not None:
-            return self._solver.top_samples(
-                self._last_aux, num_samples, noise=self._last_noise
-            )
-        raise RuntimeError(
-            "get_top_samples requires store_rollouts=True or the fused "
-            "solver (which regenerates rollouts from seeds)."
+        return diagnostics.top_samples_from_last(
+            self._solver, self._last_aux, num_samples, noise=self._last_noise
         )
 
     def get_samples_from_posterior(

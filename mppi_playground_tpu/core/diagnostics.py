@@ -32,6 +32,25 @@ def top_samples(
     return state_seq_batch[top_indices], top_weights
 
 
+def top_samples_from_last(solver, aux, num_samples, noise=None, what="forward()"):
+    """Shared ``get_top_samples`` dispatch for the controller facades.
+
+    XLA path with stored rollouts -> read them; fused path -> regenerate
+    the winning perturbations from the solve's per-tile PRNG seeds via
+    ``solver.top_samples``; otherwise the config cannot serve diagnostics.
+    """
+    if aux is None:
+        raise RuntimeError(f"get_top_samples requires a prior {what}.")
+    if aux.state_seq_batch is not None:
+        return top_samples(aux.state_seq_batch, aux.weights, num_samples)
+    if solver.top_samples is not None:
+        return solver.top_samples(aux, num_samples, noise=noise)
+    raise RuntimeError(
+        "get_top_samples requires store_rollouts=True or the fused "
+        "solver (which regenerates rollouts from seeds)."
+    )
+
+
 def posterior_samples(
     key: jax.Array,
     optimal_solution: jnp.ndarray,

@@ -187,7 +187,9 @@ def make_fused_solver(
     run_regen = getattr(solve_core, "run_regen", None)
 
     @functools.lru_cache(maxsize=8)
-    def _top_fn(n: int, with_noise: bool):
+    def _top_fn(n: int):
+        # jit retraces on its own when `noise` flips between None and an
+        # array, so n is the only cache key needed here
         def top(x0, prev_seq, seed, weights, noise):
             pert = run_regen(prev_seq, seed, noise)
             top_w, top_idx = jax.lax.top_k(weights, n)
@@ -200,7 +202,7 @@ def make_fused_solver(
         """(state_seqs [n, T+1, dim_state], weights [n]), weight-descending."""
         assert aux.seed is not None, "aux must come from a fused solve"
         assert n <= config.num_samples
-        return _top_fn(int(n), noise is not None)(
+        return _top_fn(int(n))(
             aux.x0, aux.prev_action_seq, aux.seed, aux.weights, noise
         )
 

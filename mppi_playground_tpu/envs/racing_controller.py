@@ -27,7 +27,7 @@ from mppi_playground_tpu.core.solver import make_solver
 from mppi_playground_tpu.models.racing_mpcc import (
     calc_ref_trajectory,
     make_mpcc_cost,
-    make_racing_fused_task,
+    make_racing_fused_task_from_env,
 )
 from mppi_playground_tpu.ops.fused_solve import fused_envelope, fused_supported
 
@@ -78,12 +78,7 @@ class RacingController:
         self.solver_backend = solver_backend
         # inner solver stays unjitted; the full tick below is the jit unit
         if solver_backend == "fused":
-            task = make_racing_fused_task(
-                env.obstacle_map.row_interval_table,
-                env.lane_map.row_interval_table,
-                x_lim=tuple(env.obstacle_map.x_lim),
-                y_lim=tuple(env.obstacle_map.y_lim),
-            )
+            task = make_racing_fused_task_from_env(env)
             self._solver = make_fused_solver(
                 self.config, task, env.dynamics, jit=False
             )
@@ -156,14 +151,7 @@ class RacingController:
         The fused backend regenerates the winning perturbations from the
         solve's per-tile PRNG seeds instead of storing rollouts.
         """
-        if self._last_aux is None:
-            raise RuntimeError("get_top_samples requires a prior update().")
-        if self._last_aux.state_seq_batch is not None:
-            return diagnostics.top_samples(
-                self._last_aux.state_seq_batch, self._last_aux.weights, num_samples
-            )
-        if self._solver.top_samples is not None:
-            return self._solver.top_samples(
-                self._last_aux, num_samples, noise=self._last_noise
-            )
-        raise RuntimeError("get_top_samples requires rollout storage or fused.")
+        return diagnostics.top_samples_from_last(
+            self._solver, self._last_aux, num_samples,
+            noise=self._last_noise, what="update()",
+        )

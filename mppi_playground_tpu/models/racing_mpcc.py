@@ -170,6 +170,16 @@ def make_racing_fused_task(
     )
 
 
+def make_racing_fused_task_from_env(env):
+    """``make_racing_fused_task`` wired from a ``RacingEnv``'s maps/bounds."""
+    return make_racing_fused_task(
+        env.obstacle_map.row_interval_table,
+        env.lane_map.row_interval_table,
+        x_lim=tuple(env.obstacle_map.x_lim),
+        y_lim=tuple(env.obstacle_map.y_lim),
+    )
+
+
 def extend_reference_path(xref: jnp.ndarray) -> jnp.ndarray:
     """``[T+1, 4]`` (x, y, yaw, v) -> ``[T+1, 5]`` (x, y, sin, cos, v).
 

@@ -40,6 +40,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -66,13 +67,18 @@ def _mix_seed(seed, tile):
     1024-sample noise blocks.  Mixing both words through an
     integer hash (xor-shift / odd-multiply rounds, bijective mod 2^32)
     spreads collisions over the full 2^32 space instead.
+
+    The xor-shift stages must use *logical* right shifts: with int32's
+    arithmetic shift, ``h ^ (h >> 16)`` maps ``h`` and ``~h`` to the same
+    value (and pins bit 31), collapsing each stage 2-to-1 and shrinking
+    the effective seed space to ~2^29.
     """
     h = seed ^ (tile * jnp.int32(_TILE_MUL))
-    h = h ^ (h >> 16)
+    h = h ^ lax.shift_right_logical(h, 16)
     h = h * jnp.int32(_HASH_MUL)
-    h = h ^ (h >> 16)
+    h = h ^ lax.shift_right_logical(h, 16)
     h = h * jnp.int32(_HASH_MUL)
-    return h ^ (h >> 16)
+    return h ^ lax.shift_right_logical(h, 16)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,16 +88,11 @@ def _racing(racing_env):
     from mppi_playground_tpu.models.racing_mpcc import (
         calc_ref_trajectory,
         make_mpcc_cost,
-        make_racing_fused_task,
+        make_racing_fused_task_from_env,
     )
 
     env = racing_env
-    task = make_racing_fused_task(
-        env.obstacle_map.row_interval_table,
-        env.lane_map.row_interval_table,
-        x_lim=tuple(env.obstacle_map.x_lim),
-        y_lim=tuple(env.obstacle_map.y_lim),
-    )
+    task = make_racing_fused_task_from_env(env)
     x0 = env.reset()
     xref, _ = calc_ref_trajectory(
         x0, env.racing_center_path, jnp.asarray(0, jnp.int32), HORIZON

@@ -361,3 +361,21 @@ def test_closed_loop_matches_host_loop():
         )
         x = plant(x, r.action_seq[0])
     np.testing.assert_allclose(np.asarray(xf), np.asarray(x), atol=1e-6)
+
+
+def test_mix_seed_uses_full_word():
+    """The per-tile seed hash must use logical (not arithmetic) right
+    shifts: with arithmetic shifts every xor-shift stage maps h and ~h to
+    the same value and pins bit 31, collapsing the seed space ~8x."""
+    from mppi_playground_tpu.ops.fused_solve import _mix_seed
+
+    seeds = jnp.arange(-4096, 4096, dtype=jnp.int32)
+    tile = jnp.int32(3)
+    hashed = np.asarray(_mix_seed(seeds, tile))
+    # bijective per tile: no collisions over the sample range
+    assert len(np.unique(hashed)) == len(hashed)
+    # bit 31 is exercised (arithmetic shifts can never produce it)
+    assert (hashed < 0).any()
+    # h and ~h must NOT collide (the arithmetic-shift failure mode)
+    h = jnp.int32(0x1234567)
+    assert int(_mix_seed(h, tile)) != int(_mix_seed(~h, tile))

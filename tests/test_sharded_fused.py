@@ -120,7 +120,7 @@ def test_sharded_fused_racing_task():
     from mppi_playground_tpu.envs.racing_env import RacingEnv
     from mppi_playground_tpu.models.racing_mpcc import (
         calc_ref_trajectory,
-        make_racing_fused_task,
+        make_racing_fused_task_from_env,
     )
 
     env = RacingEnv()
@@ -129,12 +129,7 @@ def test_sharded_fused_racing_task():
         u_min=(-2.0, -0.25), u_max=(2.0, 0.25), sigmas=(0.5, 0.1),
         lambda_=1.0, store_rollouts=False,
     )
-    task = make_racing_fused_task(
-        env.obstacle_map.row_interval_table,
-        env.lane_map.row_interval_table,
-        x_lim=tuple(env.obstacle_map.x_lim),
-        y_lim=tuple(env.obstacle_map.y_lim),
-    )
+    task = make_racing_fused_task_from_env(env)
     mesh = make_mesh(mesh_shape=(1, 8))
     sharded = make_sharded_fused_solver(cfg, task, env.dynamics, mesh)
     single = make_fused_solver(cfg, task, env.dynamics, jit=True,

@@ -206,3 +206,25 @@ def test_controller_reset_preserves_adapted_lambda():
     assert float(c.solver_state.lam) == lam_before
     assert float(c.solver_state.mpo_log_temperature) == log_t_before
     assert float(jnp.abs(c.solver_state.previous_action_seq).sum()) == 0.0
+
+
+def test_controller_reset_clears_diagnostics():
+    """get_top_samples after reset() must raise, not replay the previous
+    episode's trajectories (stale _last_aux / _last_noise)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mppi_playground_tpu import MPPI
+    from mppi_playground_tpu.models import pendulum
+
+    c = MPPI(
+        horizon=6, num_samples=128, dim_state=2, dim_control=1,
+        dynamics=pendulum.dynamics, cost_func=pendulum.cost,
+        u_min=jnp.asarray([-2.0]), u_max=jnp.asarray([2.0]),
+        sigmas=jnp.asarray([1.0]), lambda_=1.0,
+    )
+    c.forward(jnp.asarray([np.pi, 0.0]))
+    c.get_top_samples(5)  # works after a solve
+    c.reset()
+    with pytest.raises(RuntimeError, match="prior forward"):
+        c.get_top_samples(5)
