@@ -379,3 +379,4 @@ def test_mix_seed_uses_full_word():
     # h and ~h must NOT collide (the arithmetic-shift failure mode)
     h = jnp.int32(0x1234567)
     assert int(_mix_seed(h, tile)) != int(_mix_seed(~h, tile))
+
