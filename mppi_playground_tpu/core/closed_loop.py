@@ -67,3 +67,49 @@ def make_closed_loop(
         return st, xf, xs, us
 
     return jax.jit(run) if jit else run
+
+
+def make_fleet_closed_loop(
+    batched_solver,
+    plant_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    num_ticks: int,
+    info_fn: Optional[Callable[[Any, jnp.ndarray], Any]] = None,
+    jit: bool = True,
+):
+    """Fleet of independent episodes in ONE dispatched program.
+
+    The simulation-farm mode: ``batch_size`` control problems (from
+    ``parallel.make_batched_solver`` / ``make_batched_fused_solver``,
+    built with ``jit=False, donate_state=False`` — this loop is the jit
+    unit), each stepped for ``num_ticks`` ticks, scanned inside a single
+    program.  Amortizes the per-dispatch cost over ``B * num_ticks``
+    solves; scenarios shard over the mesh's scenario axis.
+
+    Args:
+        plant_fn: batched plant ``(xs [B,n], us [B,m]) -> [B,n]``.
+        info_fn: optional ``(carry, xs [B,n]) -> (batched_info, carry)``
+            where ``batched_info`` is a dict of ``[B, ...]`` arrays — the
+            per-scenario cost context (e.g. each episode's reference
+            trajectory), forwarded as ``solve_batch(batched_info=...)``.
+
+    Returns ``run(states, x0s, carry=None) -> (states, xs_final,
+    xs [num_ticks, B, n], us [num_ticks, B, m])``.
+    """
+
+    def run(states: MPPIState, x0s: jnp.ndarray, carry: Any = None):
+        def tick(loop_carry, _):
+            sts, xs, c = loop_carry
+            if info_fn is not None:
+                binfo, c = info_fn(c, xs)
+            else:
+                binfo = None
+            result = batched_solver.solve_batch(sts, xs, batched_info=binfo)
+            us = result.action_seq[:, 0]
+            return (result.state, plant_fn(xs, us), c), (xs, us)
+
+        (sts, xf, _), (xs, us) = lax.scan(
+            tick, (states, jnp.asarray(x0s), carry), None, length=num_ticks
+        )
+        return sts, xf, xs, us
+
+    return jax.jit(run) if jit else run

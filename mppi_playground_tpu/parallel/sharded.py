@@ -143,13 +143,16 @@ def make_batched_solver(
 
     init_batch = _make_init_batch(config, base.init, batch_size)
 
-    def solve_one(state, x0, noise, info):
+    def solve_one(state, x0, noise, info, batched_info):
+        if batched_info is not None:
+            info = {**(info or {}), **batched_info}
         return base.solve(state, x0, info=info, noise=noise)
 
     def solve_batch(
         states: MPPIState,
         x0s: jnp.ndarray,
         info: Optional[Dict[str, Any]] = None,
+        batched_info: Optional[Dict[str, Any]] = None,
     ) -> SolveResult:
         # second output of the per-scenario split == the noise key the
         # unsharded solve would draw (core/solver.py solve())
@@ -161,9 +164,12 @@ def make_batched_solver(
             * sigmas
         )(noise_keys)
         noise = jax.lax.with_sharding_constraint(noise, noise_sharding)
-        # user info (e.g. a reference trajectory) is shared across the batch
-        return jax.vmap(solve_one, in_axes=(0, 0, 0, None))(
-            states, x0s, noise, info
+        # `info` (e.g. a shared map) is replicated across the batch;
+        # `batched_info` (e.g. per-scenario reference trajectories) has a
+        # leading [B] axis and is split per scenario
+        binfo_axis = None if batched_info is None else 0
+        return jax.vmap(solve_one, in_axes=(0, 0, 0, None, binfo_axis))(
+            states, x0s, noise, info, batched_info
         )
 
     if jit:
@@ -364,24 +370,33 @@ def make_batched_fused_solver(
         x0s: jnp.ndarray,
         info: Optional[Dict[str, Any]] = None,
         noise: Optional[jnp.ndarray] = None,
+        batched_info: Optional[Dict[str, Any]] = None,
     ) -> SolveResult:
         state_specs = jax.tree_util.tree_map(lambda _: shard, states)
         noise_spec = shard if noise is not None else rep
+        binfo_specs = jax.tree_util.tree_map(
+            lambda _: shard, batched_info
+        )
 
-        def shard_fn(states, x0s, noise):
+        def shard_fn(states, x0s, noise, batched_info):
             def one(args):
-                st, x0, nz = args
-                return base.solve(st, x0, info=info, noise=nz)
+                st, x0, nz, binfo = args
+                # `info` is shared (closure); `binfo` carries the
+                # per-scenario entries (leading [B] axis, split by lax.map)
+                merged = dict(info or {})
+                if binfo is not None:
+                    merged.update(binfo)
+                return base.solve(st, x0, info=merged or None, noise=nz)
 
-            return jax.lax.map(one, (states, x0s, noise))
+            return jax.lax.map(one, (states, x0s, noise, batched_info))
 
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(state_specs, shard, noise_spec),
+            in_specs=(state_specs, shard, noise_spec, binfo_specs),
             out_specs=shard,  # every output leaf is scenario-batched
             check_vma=False,
-        )(states, x0s, noise)
+        )(states, x0s, noise, batched_info)
 
     if jit:
         solve_batch = jax.jit(

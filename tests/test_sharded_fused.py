@@ -187,3 +187,40 @@ def test_batched_fused_matches_individual_solves():
         np.testing.assert_allclose(
             np.asarray(rb.aux.costs[b]), np.asarray(r1.aux.costs), rtol=1e-6
         )
+
+
+def test_batched_fused_per_scenario_info():
+    """batched_info routes per-scenario SMEM context (e.g. per-episode
+    reference trajectories) to each scenario's fused solve."""
+    from mppi_playground_tpu.parallel.sharded import make_batched_fused_solver
+
+    cfg = _config()
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(4, 2))
+    B = 4
+    batched = make_batched_fused_solver(
+        cfg, task, dyn, mesh, batch_size=B, donate_state=False
+    )
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    states = batched.init_batch(seed=1)
+    x0s = jnp.zeros((B, 2), jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(9), (B, K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    targets = jnp.stack(
+        [jnp.ones((HORIZON, 1), jnp.float32) * (0.5 * b - 1.0) for b in range(B)]
+    )
+    rb = batched.solve_batch(
+        states, x0s, noise=noise, batched_info={"target": targets}
+    )
+    for b in range(B):
+        st_b = jax.tree_util.tree_map(lambda leaf: leaf[b], states)
+        r1 = single.solve(
+            st_b, x0s[b], info={"target": targets[b]}, noise=noise[b]
+        )
+        np.testing.assert_allclose(
+            np.asarray(rb.action_seq[b]), np.asarray(r1.action_seq), atol=2e-5
+        )

@@ -117,3 +117,79 @@ def test_sharded_solve_closed_loop_stays_finite():
         state = r.state
         x = pendulum.dynamics(x[None], r.action_seq[None, 0])[0]
         assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_fleet_closed_loop_matches_independent_episodes():
+    """make_fleet_closed_loop == B independent make_closed_loop runs.
+
+    The simulation-farm mode (B episodes x num_ticks in one program) must
+    reproduce each episode exactly: same per-scenario key -> same noise
+    stream -> same trajectory.
+    """
+    from mppi_playground_tpu.core.closed_loop import (
+        make_closed_loop,
+        make_fleet_closed_loop,
+    )
+
+    config = _config(num_samples=256)
+    mesh = make_mesh(mesh_shape=(4, 2))
+    batched = make_batched_solver(
+        config, pendulum.dynamics, pendulum.cost, mesh, batch_size=4,
+        jit=False, donate_state=False,
+    )
+
+    def plant_batch(xs, us):
+        return pendulum.dynamics(xs, us)
+
+    ticks = 4
+    fleet = make_fleet_closed_loop(batched, plant_batch, ticks)
+    x0s = jnp.asarray(
+        [[np.pi, 0.0], [2.0, 0.5], [-1.0, 0.0], [0.3, -0.2]], jnp.float32
+    )
+    states = batched.init_batch(seed=11)
+    _, xf, xs, us = fleet(states, x0s)
+    assert xs.shape == (ticks, 4, 2) and us.shape == (ticks, 4, 1)
+
+    single = make_solver(
+        config, pendulum.dynamics, pendulum.cost, jit=False, donate_state=False
+    )
+    loop = make_closed_loop(
+        single, lambda x, u: pendulum.dynamics(x[None], u[None])[0], ticks
+    )
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    for b in range(4):
+        _, xf_b, xs_b, us_b = loop(single.init(key=keys[b]), x0s[b])
+        np.testing.assert_allclose(np.asarray(xs[:, b]), np.asarray(xs_b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(us[:, b]), np.asarray(us_b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(xf[b]), np.asarray(xf_b), atol=1e-5)
+
+
+def test_batched_info_per_scenario_cost_context():
+    """batched_info entries reach each scenario's cost with its own row."""
+    config = _config(
+        num_samples=256,
+        dim_state=2,
+        dim_control=2,
+        u_min=integrator.U_MIN,
+        u_max=integrator.U_MAX,
+        sigmas=(0.5, 0.5),
+    )
+    mesh = make_mesh(mesh_shape=(4, 2))
+
+    def cost_with_goal(state, action, info):
+        goal = info["goal"]
+        return jnp.sum((state - goal) ** 2, axis=1)
+
+    batched = make_batched_solver(
+        config, integrator.dynamics, cost_with_goal, mesh, batch_size=4,
+        donate_state=False,
+    )
+    goals = jnp.asarray([[5.0, 5.0], [-5.0, -5.0], [5.0, -5.0], [-5.0, 5.0]])
+    states = batched.init_batch(seed=3)
+    x0s = jnp.zeros((4, 2))
+    result = batched.solve_batch(states, x0s, batched_info={"goal": goals})
+    # each scenario's mean control must point toward ITS goal
+    first_moves = np.asarray(result.action_seq[:, 0])
+    for b in range(4):
+        direction = np.asarray(goals[b]) / np.linalg.norm(np.asarray(goals[b]))
+        assert float(first_moves[b] @ direction) > 0.1, (b, first_moves[b])
