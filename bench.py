@@ -28,11 +28,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
 import statistics
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 HORIZON = 50
 NUM_SAMPLES = 100_000
@@ -158,6 +162,20 @@ def main() -> None:
     if amortized is not None:
         extra["amortized_solves_per_s"] = round(amortized, 1)
         extra["amortized_solve_ms"] = round(1000.0 / amortized, 3)
+    if on_tpu:
+        # fleet-episode serving mode at the reference racing workload
+        # (benchmarks/fleet.py; guarded — never risks the headline number)
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable, "benchmarks/fleet.py", "--batch", "8"],
+                capture_output=True, text=True, timeout=420, cwd=_REPO,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            extra["fleet_b8_total_solves_per_s"] = json.loads(line)["value"]
+        except Exception:
+            pass
     result = {
         "metric": f"racing_mppi_solves_per_s_h{HORIZON}_k{NUM_SAMPLES}",
         "value": round(solves_per_s, 3),
