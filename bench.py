@@ -164,7 +164,10 @@ def main() -> None:
         extra["amortized_solve_ms"] = round(1000.0 / amortized, 3)
     if on_tpu:
         # fleet-episode serving mode at the reference racing workload
-        # (benchmarks/fleet.py; guarded — never risks the headline number)
+        # (benchmarks/fleet.py; guarded — never risks the headline number).
+        # Works here because the tunnel backend admits a second client
+        # process; on exclusive-access libtpu setups this records the
+        # failure note instead.
         try:
             import subprocess
 
@@ -172,10 +175,13 @@ def main() -> None:
                 [sys.executable, "benchmarks/fleet.py", "--batch", "8"],
                 capture_output=True, text=True, timeout=420, cwd=_REPO,
             )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            extra["fleet_b8_total_solves_per_s"] = json.loads(line)["value"]
-        except Exception:
-            pass
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if lines:
+                extra["fleet_b8_total_solves_per_s"] = json.loads(lines[-1])["value"]
+            else:
+                extra["fleet_note"] = f"fleet bench produced no output (rc={out.returncode})"
+        except Exception as exc:  # noqa: BLE001 — headline must survive
+            extra["fleet_note"] = f"fleet bench failed: {type(exc).__name__}"
     result = {
         "metric": f"racing_mppi_solves_per_s_h{HORIZON}_k{NUM_SAMPLES}",
         "value": round(solves_per_s, 3),

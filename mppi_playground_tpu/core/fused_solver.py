@@ -186,24 +186,20 @@ def make_fused_solver(
     # weight, and re-roll just those n through the dynamics.
     run_regen = getattr(solve_core, "run_regen", None)
 
-    @functools.lru_cache(maxsize=8)
-    def _top_fn(n: int):
-        # jit retraces on its own when `noise` flips between None and an
-        # array, so n is the only cache key needed here
-        def top(x0, prev_seq, seed, weights, noise):
-            pert = run_regen(prev_seq, seed, noise)
-            top_w, top_idx = jax.lax.top_k(weights, n)
-            state_seqs = states_prediction(x0, pert[top_idx])
-            return state_seqs, top_w
+    def _top(x0, prev_seq, seed, weights, noise, n: int):
+        pert = run_regen(prev_seq, seed, noise)
+        top_w, top_idx = jax.lax.top_k(weights, n)
+        state_seqs = states_prediction(x0, pert[top_idx])
+        return state_seqs, top_w
 
-        return jax.jit(top) if jit else top
+    _top_jit = jax.jit(_top, static_argnums=(5,)) if jit else _top
 
     def top_samples(aux: SolveAux, n: int, noise=None):
         """(state_seqs [n, T+1, dim_state], weights [n]), weight-descending."""
         assert aux.seed is not None, "aux must come from a fused solve"
         assert n <= config.num_samples
-        return _top_fn(int(n))(
-            aux.x0, aux.prev_action_seq, aux.seed, aux.weights, noise
+        return _top_jit(
+            aux.x0, aux.prev_action_seq, aux.seed, aux.weights, noise, int(n)
         )
 
     return MPPISolver(

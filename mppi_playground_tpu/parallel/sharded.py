@@ -151,6 +151,7 @@ def make_batched_solver(
     def solve_batch(
         states: MPPIState,
         x0s: jnp.ndarray,
+        *,
         info: Optional[Dict[str, Any]] = None,
         batched_info: Optional[Dict[str, Any]] = None,
     ) -> SolveResult:
@@ -202,6 +203,9 @@ class ShardedFusedSolver:
     mesh: Mesh
     init: Callable[..., MPPIState]
     solve: Callable[..., SolveResult]
+    # fused-path get_top_samples: regenerates the winning perturbations
+    # from the per-shard PRNG streams (diagnostics.top_samples_from_last)
+    top_samples: Optional[Callable] = None
 
 
 def make_sharded_fused_solver(
@@ -294,8 +298,27 @@ def make_sharded_fused_solver(
         update, weights, ess = core.combine_partials(costs, stats, numer, lam)
         return costs, update, weights, ess
 
+    def sharded_run_regen(prev_seq, seed, noise=None, tile_offset=0):
+        del tile_offset
+        noise_spec = shard if noise is not None else rep
+
+        def shard_fn(prev_seq, seed, noise):
+            idx = jax.lax.axis_index(sample_axis)
+            return core.run_regen(
+                prev_seq, seed, noise=noise, tile_offset=idx * local_tiles
+            )
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(rep, rep, noise_spec),
+            out_specs=shard,
+            check_vma=False,
+        )(prev_seq, seed, noise)
+
     sharded_core.run_kernel = sharded_run_kernel
     sharded_core.run_weighted = sharded_run_weighted
+    sharded_core.run_regen = sharded_run_regen
     sharded_core.combine_partials = core.combine_partials
 
     # the facade supplies init / SG filter / prediction / warm-start
@@ -306,7 +329,8 @@ def make_sharded_fused_solver(
     )
 
     return ShardedFusedSolver(
-        config=config, mesh=mesh, init=facade.init, solve=facade.solve
+        config=config, mesh=mesh, init=facade.init, solve=facade.solve,
+        top_samples=facade.top_samples,
     )
 
 
@@ -339,12 +363,16 @@ def make_batched_fused_solver(
 ) -> BatchedFusedSolver:
     """Fused Pallas solve over ``batch_size`` independent control problems.
 
-    ``solve_batch(states, x0s, info=None, noise=None)`` takes a batched
-    :class:`MPPIState` pytree (from ``init_batch``), ``[B, dim_state]``
-    initial states, optional shared ``info`` and optional per-scenario
-    noise ``[B, K, T, m]``.  With ``donate_state=True`` (default) the
-    input states buffers are consumed by the jit — pass False to reuse
-    them after the call.
+    ``solve_batch(states, x0s, *, info=None, noise=None,
+    batched_info=None)`` takes a batched :class:`MPPIState` pytree (from
+    ``init_batch``), ``[B, dim_state]`` initial states, optional shared
+    ``info``, optional per-scenario noise ``[B, K, T, m]``, and optional
+    ``batched_info`` — a dict of ``[B, ...]`` arrays merged into each
+    scenario's ``info`` (e.g. per-episode reference trajectories).  The
+    keyword-only arguments keep the surface positionally compatible with
+    ``make_batched_solver`` (which has no ``noise``).  With
+    ``donate_state=True`` (default) the input states buffers are consumed
+    by the jit — pass False to reuse them after the call.
     """
     from jax.sharding import PartitionSpec
     from mppi_playground_tpu.core.fused_solver import make_fused_solver
@@ -368,6 +396,7 @@ def make_batched_fused_solver(
     def solve_batch(
         states: MPPIState,
         x0s: jnp.ndarray,
+        *,
         info: Optional[Dict[str, Any]] = None,
         noise: Optional[jnp.ndarray] = None,
         batched_info: Optional[Dict[str, Any]] = None,

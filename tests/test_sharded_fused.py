@@ -224,3 +224,31 @@ def test_batched_fused_per_scenario_info():
         np.testing.assert_allclose(
             np.asarray(rb.action_seq[b]), np.asarray(r1.action_seq), atol=2e-5
         )
+
+
+def test_sharded_fused_top_samples_matches_single():
+    """ShardedFusedSolver.top_samples == the single-device fused top-k.
+
+    The per-shard run_regen replays each shard's tile streams with its
+    global tile offset, so the regenerated top trajectories are identical
+    to the unsharded solve's (injected noise on CPU interpret)."""
+    cfg = _config()
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_fused_solver(cfg, task, dyn, mesh)
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    assert sharded.top_samples is not None
+
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(5), (K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    x0 = jnp.asarray([0.4, -0.2], jnp.float32)
+    rs = sharded.solve(sharded.init(), x0, info=_info(), noise=noise)
+    r1 = single.solve(single.init(), x0, info=_info(), noise=noise)
+
+    ts, ws = sharded.top_samples(rs.aux, 16, noise=noise)
+    t1, w1 = single.top_samples(r1.aux, 16, noise=noise)
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(w1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(t1), atol=1e-5)
