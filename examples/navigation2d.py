@@ -21,9 +21,17 @@ from mppi_playground_tpu import MPPI
 from mppi_playground_tpu.envs import Navigation2DEnv
 
 
-def main(save_mode: bool = False, max_steps: int = 500, render: bool = True):
+def main(
+    save_mode: bool = False,
+    max_steps: int = 500,
+    render: bool = True,
+    fused: bool = False,
+):
     env = Navigation2DEnv()
 
+    # --fused: one Pallas kernel per tick; the top-300 overlay is
+    # regenerated from the solve's PRNG seeds instead of stored rollouts
+    extra = dict(store_rollouts=False, fused_task=env.fused_task()) if fused else {}
     solver = MPPI(
         horizon=30,
         num_samples=3000,
@@ -35,6 +43,7 @@ def main(save_mode: bool = False, max_steps: int = 500, render: bool = True):
         u_max=env.u_max,
         sigmas=jnp.asarray([0.5, 0.5]),
         lambda_="ESSPS",
+        **extra,
     )
 
     state = env.reset()
@@ -70,9 +79,11 @@ if __name__ == "__main__":
     parser.add_argument("--save-mode", action="store_true")
     parser.add_argument("--max-steps", type=int, default=500)
     parser.add_argument("--no-render", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
     main(
         save_mode=args.save_mode,
         max_steps=args.max_steps,
         render=not args.no_render,
+        fused=args.fused,
     )
