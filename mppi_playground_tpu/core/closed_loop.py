@@ -45,8 +45,8 @@ def make_closed_loop(
             reference trajectory + monotone path index).
 
     Returns ``run`` with outputs: final solver state, final plant state,
-    ``xs [num_ticks, n]`` visited states and ``us [num_ticks, m]``
-    applied actions.
+    ``xs [num_ticks, n]`` visited states, ``us [num_ticks, m]`` applied
+    actions, and the final ``info_fn`` carry (None without ``info_fn``).
     """
 
     def run(state: MPPIState, x0: jnp.ndarray, carry: Any = None):
@@ -61,10 +61,10 @@ def make_closed_loop(
             x_next = plant_fn(x, u)
             return (result.state, x_next, c), (x, u)
 
-        (st, xf, _), (xs, us) = lax.scan(
+        (st, xf, c), (xs, us) = lax.scan(
             tick, (state, jnp.asarray(x0), carry), None, length=num_ticks
         )
-        return st, xf, xs, us
+        return st, xf, xs, us, c
 
     return jax.jit(run) if jit else run
 
@@ -93,7 +93,7 @@ def make_fleet_closed_loop(
             trajectory), forwarded as ``solve_batch(batched_info=...)``.
 
     Returns ``run(states, x0s, carry=None) -> (states, xs_final,
-    xs [num_ticks, B, n], us [num_ticks, B, m])``.
+    xs [num_ticks, B, n], us [num_ticks, B, m], final_carry)``.
     """
 
     def run(states: MPPIState, x0s: jnp.ndarray, carry: Any = None):
@@ -107,9 +107,9 @@ def make_fleet_closed_loop(
             us = result.action_seq[:, 0]
             return (result.state, plant_fn(xs, us), c), (xs, us)
 
-        (sts, xf, _), (xs, us) = lax.scan(
+        (sts, xf, c), (xs, us) = lax.scan(
             tick, (states, jnp.asarray(x0s), carry), None, length=num_ticks
         )
-        return sts, xf, xs, us
+        return sts, xf, xs, us, c
 
     return jax.jit(run) if jit else run

@@ -224,3 +224,44 @@ def test_calc_ref_trajectory_lookahead_matches_reference_accumulation():
         expected[:, 3] = 0.0
 
     np.testing.assert_allclose(np.asarray(xref), expected, atol=1e-6)
+
+
+def test_racing_run_episode_matches_per_tick_updates(racing_env):
+    """RacingController.run_episode == N update() calls + plant steps.
+
+    The single-dispatch episode mode must evolve the same warm start,
+    path index and trajectory as the host-driven loop (same solver, same
+    key stream), up to f32 fusion-order differences.
+    """
+    import jax.numpy as jnp
+
+    from mppi_playground_tpu.envs.racing_controller import RacingController
+
+    env = racing_env
+    kw = dict(horizon=6, num_samples=64, solver_backend="xla",
+              store_rollouts=False)
+    a = RacingController(env, **kw)
+    b = RacingController(env, **kw)
+
+    x0 = env.reset()
+    xs_ep, us_ep = a.run_episode(x0, 3)
+
+    x = x0
+    for t in range(3):
+        act, _ = b.update(x)
+        np.testing.assert_allclose(
+            np.asarray(xs_ep[t]), np.asarray(x), atol=1e-5,
+            err_msg=f"visited state diverged at tick {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(us_ep[t]), np.asarray(act[0]), atol=1e-5,
+            err_msg=f"applied action diverged at tick {t}",
+        )
+        x = env.dynamics(x[None], act[None, 0])[0]
+
+    assert int(a.current_path_index) == int(b.current_path_index)
+    np.testing.assert_allclose(
+        np.asarray(a.solver_state.previous_action_seq),
+        np.asarray(b.solver_state.previous_action_seq),
+        atol=1e-5,
+    )

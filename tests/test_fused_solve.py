@@ -348,7 +348,7 @@ def test_closed_loop_matches_host_loop():
 
     run = make_closed_loop(solver, plant, num_ticks=5, info_fn=info_fn)
     x0 = jnp.asarray([0.0, 0.0], jnp.float32)
-    st_final, xf, xs, us = run(solver.init(), x0, None)
+    st_final, xf, xs, us, _ = run(solver.init(), x0, None)
 
     # host-driven loop with the same solver/state stream
     st = solver.init()

@@ -147,7 +147,7 @@ def test_fleet_closed_loop_matches_independent_episodes():
         [[np.pi, 0.0], [2.0, 0.5], [-1.0, 0.0], [0.3, -0.2]], jnp.float32
     )
     states = batched.init_batch(seed=11)
-    _, xf, xs, us = fleet(states, x0s)
+    _, xf, xs, us, _ = fleet(states, x0s)
     assert xs.shape == (ticks, 4, 2) and us.shape == (ticks, 4, 1)
 
     single = make_solver(
@@ -158,7 +158,7 @@ def test_fleet_closed_loop_matches_independent_episodes():
     )
     keys = jax.random.split(jax.random.PRNGKey(11), 4)
     for b in range(4):
-        _, xf_b, xs_b, us_b = loop(single.init(key=keys[b]), x0s[b])
+        _, xf_b, xs_b, us_b, _ = loop(single.init(key=keys[b]), x0s[b])
         np.testing.assert_allclose(np.asarray(xs[:, b]), np.asarray(xs_b), atol=1e-5)
         np.testing.assert_allclose(np.asarray(us[:, b]), np.asarray(us_b), atol=1e-5)
         np.testing.assert_allclose(np.asarray(xf[b]), np.asarray(xf_b), atol=1e-5)
