@@ -111,6 +111,7 @@ class MPPI:
         self._last_aux: Optional[SolveAux] = None
         self._last_noise: Optional[jnp.ndarray] = None
         self._diag_key = jax.random.PRNGKey(seed + 1)
+        self._episode_runners: dict = {}
 
     # ------------------------------------------------------------------
     @property
@@ -170,6 +171,41 @@ class MPPI:
         return diagnostics.top_samples_from_last(
             self._solver, self._last_aux, num_samples, noise=self._last_noise
         )
+
+    def run_episode(
+        self,
+        plant_fn,
+        state,
+        num_ticks: int,
+        info_fn=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``num_ticks`` [solve -> apply first action -> plant step] ticks
+        in ONE dispatched program (``core.closed_loop``).
+
+        The single-dispatch simulation mode — no reference equivalent.
+        ``plant_fn (x [n], u [m]) -> x_next [n]`` may differ from the
+        solver's internal model.  Updates the warm start like
+        ``num_ticks`` calls to :meth:`forward` (per-solve diagnostics are
+        unavailable afterwards — rollouts never reach the host).  Returns
+        ``(xs [num_ticks, n] visited states, us [num_ticks, m] applied
+        actions)``.
+        """
+        key = (id(plant_fn), num_ticks, id(info_fn))
+        run = self._episode_runners.get(key)
+        if run is None:
+            from mppi_playground_tpu.core.closed_loop import make_closed_loop
+
+            run = make_closed_loop(
+                self._solver, plant_fn, num_ticks, info_fn=info_fn
+            )
+            self._episode_runners[key] = run
+        st, _xf, xs, us, _carry = run(
+            self._state, jnp.asarray(state, self.config.dtype)
+        )
+        self._state = st
+        self._last_aux = None
+        self._last_noise = None
+        return xs, us
 
     def get_samples_from_posterior(
         self, optimal_solution: jnp.ndarray, state, num_samples: int

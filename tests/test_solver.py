@@ -228,3 +228,42 @@ def test_controller_reset_clears_diagnostics():
     c.reset()
     with pytest.raises(RuntimeError, match="prior forward"):
         c.get_top_samples(5)
+
+
+def test_mppi_run_episode_matches_forward_loop():
+    """MPPI.run_episode == the host-driven forward/plant loop."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mppi_playground_tpu import MPPI
+    from mppi_playground_tpu.models import pendulum
+
+    kw = dict(
+        horizon=6, num_samples=128, dim_state=2, dim_control=1,
+        dynamics=pendulum.dynamics, cost_func=pendulum.cost,
+        u_min=jnp.asarray([-2.0]), u_max=jnp.asarray([2.0]),
+        sigmas=jnp.asarray([1.0]), lambda_=1.0, store_rollouts=False,
+    )
+    a, b = MPPI(**kw), MPPI(**kw)
+
+    def plant(x, u):
+        return pendulum.dynamics(x[None], u[None])[0]
+
+    x0 = jnp.asarray([np.pi, 0.0], jnp.float32)
+    xs, us = a.run_episode(plant, x0, 4)
+
+    x = x0
+    for t in range(4):
+        act, _ = b.forward(x)
+        np.testing.assert_allclose(np.asarray(xs[t]), np.asarray(x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(us[t]), np.asarray(act[0]), atol=1e-5)
+        x = plant(x, act[0])
+
+    np.testing.assert_allclose(
+        np.asarray(a.solver_state.previous_action_seq),
+        np.asarray(b.solver_state.previous_action_seq),
+        atol=1e-5,
+    )
+    # diagnostics are per-solve; the scanned episode leaves none behind
+    with pytest.raises(RuntimeError, match="prior forward"):
+        a.get_top_samples(5)
