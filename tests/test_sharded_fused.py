@@ -252,3 +252,42 @@ def test_sharded_fused_top_samples_matches_single():
     t1, w1 = single.top_samples(r1.aux, 16, noise=noise)
     np.testing.assert_allclose(np.asarray(ws), np.asarray(w1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ts), np.asarray(t1), atol=1e-5)
+
+
+def test_batched_fused_essps_matches_individual():
+    """Scenario-batched fused solve with two-phase ESSPS auto-lambda:
+    each scenario's adapted lambda and update equal its standalone solve."""
+    from mppi_playground_tpu.parallel.sharded import make_batched_fused_solver
+
+    cfg = MPPIConfig(
+        horizon=HORIZON, num_samples=K, dim_state=2, dim_control=1,
+        u_min=(-1.0,), u_max=(1.0,), sigmas=(0.7,), lambda_="ESSPS",
+        store_rollouts=False,
+    )
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(2, 4))
+    B = 2
+    batched = make_batched_fused_solver(
+        cfg, task, dyn, mesh, batch_size=B, donate_state=False
+    )
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    states = batched.init_batch(seed=4)
+    x0s = jnp.asarray([[0.0, 0.0], [0.5, -0.5]], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(2), (B, K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rb = batched.solve_batch(states, x0s, info=_info(), noise=noise)
+
+    for b in range(B):
+        st_b = jax.tree_util.tree_map(lambda leaf: leaf[b], states)
+        r1 = single.solve(st_b, x0s[b], info=_info(), noise=noise[b])
+        np.testing.assert_allclose(
+            float(rb.aux.lam[b]), float(r1.aux.lam), rtol=1e-6,
+            err_msg=f"adapted lambda diverged for scenario {b}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rb.action_seq[b]), np.asarray(r1.action_seq), atol=2e-5
+        )
