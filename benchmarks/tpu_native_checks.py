@@ -117,6 +117,54 @@ def check_regen_costs_match():
     return _emit("regen_costs_match", ok, max_rel_err=err)
 
 
+def check_dump_pert_matches_regen():
+    """Phase-1 dump_pert output == run_regen's replay, bit-exact.
+
+    The auto-lambda fast path reads the dumped perturbations back in
+    phase 2 instead of regenerating them; both must come from the same
+    native PRNG streams or the two-phase solve silently diverges.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.models import pendulum
+    from mppi_playground_tpu.ops.fused_solve import LANES, make_fused_solve
+
+    k, horizon = 4096, 15
+    cfg = MPPIConfig(
+        horizon=horizon, num_samples=k, dim_state=2, dim_control=1,
+        u_min=pendulum.U_MIN, u_max=pendulum.U_MAX, sigmas=(1.0,),
+        lambda_="ESSPS", store_rollouts=False,
+    )
+    core = make_fused_solve(cfg, pendulum.fused_task())
+    prev = jnp.zeros((horizon, 1), jnp.float32)
+    seed = jnp.asarray(11, jnp.int32)
+    x0 = jnp.asarray([np.pi, 0.0], jnp.float32)
+
+    costs, _, _, pert = core.run_kernel(x0, prev, jnp.asarray(1.0), seed, {},
+                                        dump_pert=True)
+    regen = core.run_regen(prev, seed)
+    d_flat = horizon * 1
+    k_pad = pert.shape[1] * LANES
+    pert_ktm = (
+        np.asarray(pert).reshape(d_flat, k_pad).T[:k].reshape(k, horizon, 1)
+    )
+    bit_equal = bool(np.array_equal(pert_ktm, np.asarray(regen)))
+
+    # and phase 2 via read-back == phase 2 via regen, bit-exact
+    s1, n1 = core.run_weighted(prev, jnp.asarray(0.5), seed, costs)
+    s2, n2 = core.run_weighted(prev, jnp.asarray(0.5), seed, costs, pert=pert)
+    jax.block_until_ready(n2)
+    weighted_equal = bool(
+        np.array_equal(np.asarray(s1), np.asarray(s2))
+        and np.array_equal(np.asarray(n1), np.asarray(n2))
+    )
+    ok = bit_equal and weighted_equal
+    return _emit("dump_pert_matches_regen", ok, pert_bit_equal=bit_equal,
+                 weighted_bit_equal=weighted_equal)
+
+
 def check_tile_offset_invariance():
     """Sharded-vs-single PRNG-stream invariance, natively on one chip.
 
@@ -211,6 +259,7 @@ def main():
     results = [
         check_prng_stats(),
         check_regen_costs_match(),
+        check_dump_pert_matches_regen(),
         check_tile_offset_invariance(),
         check_fused_top_samples(),
     ]

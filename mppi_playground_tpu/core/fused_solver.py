@@ -109,12 +109,22 @@ def make_fused_solver(
         if auto in ("LBPS", "ESSPS"):
             # Two-phase auto-lambda (mppi.py:341-370, on device): the full
             # kernel produces lambda-independent costs; lambda is solved
-            # from them; a second pass regenerates the perturbations from
-            # the same seeds and weights them at the final lambda.
-            costs, _, _ = solve_core.run_kernel(
-                x0, state.previous_action_seq, state.lam, seed, smem_arrays,
-                noise,
-            )
+            # from them; a second pass re-weights the perturbations at the
+            # final lambda.  When the core supports it, phase 1 dumps the
+            # clamped perturbations to HBM and phase 2 reads them back —
+            # at flagship scale that reads ~40 MB instead of regenerating
+            # ~10M normals (Box-Muller), cutting phase 2 ~3x.
+            dump = getattr(solve_core, "supports_pert_dump", False)
+            if dump:
+                costs, _, _, pert_raw = solve_core.run_kernel(
+                    x0, state.previous_action_seq, state.lam, seed,
+                    smem_arrays, noise, dump_pert=True,
+                )
+            else:
+                costs, _, _ = solve_core.run_kernel(
+                    x0, state.previous_action_seq, state.lam, seed,
+                    smem_arrays, noise,
+                )
             if auto == "LBPS":
                 lam = autolambda.lbps_lambda(
                     costs, config.lbps_delta, config.lambda_min,
@@ -125,9 +135,15 @@ def make_fused_solver(
                     costs, config.target_ess, config.lambda_min,
                     config.lambda_max, iters=config.essps_iters,
                 )
-            stats, numer = solve_core.run_weighted(
-                state.previous_action_seq, lam, seed, costs, noise
-            )
+            if dump:
+                stats, numer = solve_core.run_weighted(
+                    state.previous_action_seq, lam, seed, costs,
+                    pert=pert_raw,
+                )
+            else:
+                stats, numer = solve_core.run_weighted(
+                    state.previous_action_seq, lam, seed, costs, noise
+                )
             update, weights, ess = solve_core.combine_partials(
                 costs, stats, numer, lam
             )

@@ -242,15 +242,21 @@ def make_fused_solve(
 
     def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
                noise_mode: bool, smem_keys: Tuple[str, ...],
-               weighted_only: bool = False, pert_dump: bool = False):
+               weighted_only: bool = False, pert_dump: bool = False,
+               dump_pert: bool = False, pert_in: bool = False):
         # ``weighted_only`` is the auto-lambda second phase: costs are an
         # input (computed by the full kernel at a provisional lambda), the
-        # rollout is skipped, and the perturbations are *regenerated* from
-        # the same per-tile seeds — recompute instead of materializing the
-        # [K, T, m] tensor in HBM.
+        # rollout is skipped, and the perturbations come from the same
+        # per-tile seeds — regenerated (recompute over materialize), or
+        # read back directly when ``pert_in`` is set (the noise input then
+        # holds the phase-1 ``dump_pert`` output: already mean-shifted and
+        # clamped, so PRNG + Box-Muller + clamp are all skipped — at
+        # flagship scale reading 40 MB beats regenerating ~10M normals).
         # ``pert_dump`` is the diagnostics mode (get_top_samples on the
         # fused path): regenerate the perturbed action sequences from the
         # same seeds and write them out, skipping rollout and softmin.
+        # ``dump_pert`` augments the FULL solve with a perturbation dump
+        # output (phase 1 of the read-back auto-lambda path).
         if weighted_only or pert_dump:
             vmem_refs = ()
             smem_refs = {}
@@ -267,6 +273,8 @@ def make_fused_solve(
         elif weighted_only:
             costs_in_ref = refs[idx]
             stats_ref, numer_ref = refs[idx + 1 : idx + 3]
+        elif dump_pert:
+            costs_ref, stats_ref, numer_ref, pert_out_ref = refs[idx : idx + 4]
         else:
             costs_ref, stats_ref, numer_ref = refs[idx : idx + 3]
 
@@ -297,6 +305,10 @@ def make_fused_solve(
         for t in range(horizon):
             row = []
             for j in range(dim_control):
+                if pert_in:
+                    # input already holds the final clamped sequences
+                    row.append(noise_ref[t * dim_control + j, :, :])
+                    continue
                 if noise_mode:
                     z = noise_ref[t * dim_control + j, :, :]
                 else:
@@ -316,6 +328,10 @@ def make_fused_solve(
                 for j in range(dim_control):
                     pert_ref[t * dim_control + j, :, :] = pert[t][j]
             return
+        if dump_pert:
+            for t in range(horizon):
+                for j in range(dim_control):
+                    pert_out_ref[t * dim_control + j, :, :] = pert[t][j]
 
         if weighted_only:
             acc = costs_in_ref[:, :]
@@ -412,8 +428,15 @@ def make_fused_solve(
         smem_arrays: Dict[str, jnp.ndarray],
         noise: Optional[jnp.ndarray] = None,
         tile_offset=0,
+        dump_pert: bool = False,
     ):
-        """Kernel launch -> (costs [num_local], stats, numer) tile partials."""
+        """Kernel launch -> (costs [num_local], stats, numer) tile partials.
+
+        With ``dump_pert``, a 4th output carries the clamped perturbed
+        action sequences in raw kernel layout ``[T*m, K_pad/128, 128]`` —
+        feed it back as ``run_weighted(..., pert=...)`` so the auto-lambda
+        phase 2 reads them instead of regenerating.
+        """
         smem_keys = tuple(sorted(smem_arrays.keys()))
         noise_mode = noise is not None
 
@@ -460,9 +483,23 @@ def make_fused_solve(
                 (1, SUBLANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ]
+        if dump_pert:
+            out_shape.append(
+                jax.ShapeDtypeStruct((d_flat, k_pad // LANES, LANES), jnp.float32)
+            )
+            out_specs.append(
+                pl.BlockSpec(
+                    (d_flat, SUBLANES, LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
 
-        costs2d, stats, numer = pl.pallas_call(
-            functools.partial(kernel, noise_mode=noise_mode, smem_keys=smem_keys),
+        outs = pl.pallas_call(
+            functools.partial(
+                kernel, noise_mode=noise_mode, smem_keys=smem_keys,
+                dump_pert=dump_pert,
+            ),
             grid=(num_tiles,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -475,8 +512,11 @@ def make_fused_solve(
             ),
             interpret=interpret,
         )(*args)
+        costs2d, stats, numer = outs[:3]
 
         costs = costs2d.reshape(k_pad)[:num_local]
+        if dump_pert:
+            return costs, stats[:, 0, :], numer[:, 0, :], outs[3]
         return costs, stats[:, 0, :], numer[:, 0, :]
 
     def run_weighted(
@@ -486,15 +526,20 @@ def make_fused_solve(
         costs: jnp.ndarray,
         noise: Optional[jnp.ndarray] = None,
         tile_offset=0,
+        pert: Optional[jnp.ndarray] = None,
     ):
         """Auto-lambda phase 2: (stats, numer) partials at the final lambda.
 
-        Regenerates the perturbations from the same per-tile seeds (or the
-        same injected noise) as the phase-1 rollout — the [K, T, m] tensor
-        is recomputed in-register, never stored.
+        The perturbations come from one of three sources: ``pert`` — the
+        phase-1 ``dump_pert`` output in raw kernel layout, read straight
+        back (cheapest at large K); ``noise`` — the same injected noise as
+        phase 1; neither — regenerated from the same per-tile PRNG seeds
+        in-register.
         """
         smem_keys: Tuple[str, ...] = ()
-        noise_mode = noise is not None
+        assert noise is None or pert is None, "pass noise or pert, not both"
+        pert_in = pert is not None
+        noise_mode = noise is not None or pert_in
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 placeholder [1]
@@ -510,7 +555,17 @@ def make_fused_solve(
             jnp.asarray(seed, jnp.int32).reshape(1),
             jnp.asarray(tile_offset, jnp.int32).reshape(1),
         ]
-        if noise_mode:
+        if pert_in:
+            # already in kernel layout [d_flat, k_pad/128, 128]
+            in_specs.append(
+                pl.BlockSpec(
+                    (d_flat, SUBLANES, LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(pert)
+        elif noise_mode:
             _append_noise_input(in_specs, args, noise)
         # padded cost entries must lose the softmin
         costs_pad = jnp.full(k_pad, 1e30, jnp.float32).at[:num_local].set(costs)
@@ -534,7 +589,7 @@ def make_fused_solve(
         stats, numer = pl.pallas_call(
             functools.partial(
                 kernel, noise_mode=noise_mode, smem_keys=smem_keys,
-                weighted_only=True,
+                weighted_only=True, pert_in=pert_in,
             ),
             grid=(num_tiles,),
             in_specs=in_specs,
@@ -649,4 +704,6 @@ def make_fused_solve(
     solve_core.run_weighted = run_weighted
     solve_core.run_regen = run_regen
     solve_core.combine_partials = combine_partials
+    # phase-1 pert dump + phase-2 read-back (auto-lambda fast path)
+    solve_core.supports_pert_dump = True
     return solve_core

@@ -250,8 +250,12 @@ def make_sharded_fused_solver(
     # single-device core, so the facade's auto-lambda two-phase path works
     # sharded without modification.
 
+    # raw kernel-layout perturbations [d_flat, K_pad/128, 128]: the sample
+    # axis is dim 1, so dumps/read-backs shard there and never move
+    pert_spec = PartitionSpec(None, sample_axis, None)
+
     def sharded_run_kernel(x0, prev_seq, lam, seed, smem_arrays, noise=None,
-                           tile_offset=0):
+                           tile_offset=0, dump_pert=False):
         del tile_offset  # computed per shard from the mesh position
         smem_specs = jax.tree_util.tree_map(lambda _: rep, smem_arrays)
         noise_spec = shard if noise is not None else rep
@@ -261,35 +265,40 @@ def make_sharded_fused_solver(
             return core.run_kernel(
                 x0, prev_seq, lam, seed, smem_arrays,
                 noise=noise, tile_offset=idx * local_tiles,
+                dump_pert=dump_pert,
             )
 
+        out_specs = (shard, shard, shard, pert_spec) if dump_pert else (
+            shard, shard, shard
+        )
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(rep, rep, rep, rep, smem_specs, noise_spec),
-            out_specs=(shard, shard, shard),
+            out_specs=out_specs,
             check_vma=False,
         )(x0, prev_seq, lam, seed, smem_arrays, noise)
 
     def sharded_run_weighted(prev_seq, lam, seed, costs, noise=None,
-                             tile_offset=0):
+                             tile_offset=0, pert=None):
         del tile_offset
         noise_spec = shard if noise is not None else rep
+        p_spec = pert_spec if pert is not None else rep
 
-        def shard_fn(prev_seq, lam, seed, costs, noise):
+        def shard_fn(prev_seq, lam, seed, costs, noise, pert):
             idx = jax.lax.axis_index(sample_axis)
             return core.run_weighted(
                 prev_seq, lam, seed, costs,
-                noise=noise, tile_offset=idx * local_tiles,
+                noise=noise, tile_offset=idx * local_tiles, pert=pert,
             )
 
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(rep, rep, rep, shard, noise_spec),
+            in_specs=(rep, rep, rep, shard, noise_spec, p_spec),
             out_specs=(shard, shard),
             check_vma=False,
-        )(prev_seq, lam, seed, costs, noise)
+        )(prev_seq, lam, seed, costs, noise, pert)
 
     def sharded_core(x0, prev_seq, lam, seed, smem_arrays, noise=None):
         costs, stats, numer = sharded_run_kernel(
@@ -320,6 +329,7 @@ def make_sharded_fused_solver(
     sharded_core.run_weighted = sharded_run_weighted
     sharded_core.run_regen = sharded_run_regen
     sharded_core.combine_partials = core.combine_partials
+    sharded_core.supports_pert_dump = True
 
     # the facade supplies init / SG filter / prediction / warm-start
     # semantics around the shard_map'd kernel core
