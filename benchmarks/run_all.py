@@ -103,9 +103,16 @@ def main():
     from mppi_playground_tpu.envs.racing_env import RacingEnv
 
     renv = RacingEnv()
-    for horizon, k, tag in [(25, 4000, "racing"), (50, 100_000, "racing_flagship")]:
+    for horizon, k, tag, lam in [
+        (25, 4000, "racing", 1.0),
+        (50, 100_000, "racing_flagship", 1.0),
+        # two-phase auto-lambda at flagship scale (phase-1 pert dump +
+        # phase-2 read-back; tracks the auto-lambda overhead over fixed)
+        (50, 100_000, "racing_flagship_essps", "ESSPS"),
+    ]:
         ctrl = RacingController(
-            renv, horizon=horizon, num_samples=k, store_rollouts=False
+            renv, horizon=horizon, num_samples=k, store_rollouts=False,
+            lambda_=lam,
         )
         x0 = renv.reset()
 
