@@ -116,9 +116,12 @@ def make_fused_solver(
             # ~10M normals (Box-Muller), cutting phase 2 ~3x.
             dump = getattr(solve_core, "supports_pert_dump", False)
             if dump:
-                costs, _, _, pert_raw = solve_core.run_kernel(
+                # costs_only also skips the phase-1 softmin partials,
+                # which were computed at the provisional lambda and thrown
+                # away (~T*m per-tile reductions saved)
+                costs, pert_raw = solve_core.run_kernel(
                     x0, state.previous_action_seq, state.lam, seed,
-                    smem_arrays, noise, dump_pert=True,
+                    smem_arrays, noise, dump_pert=True, costs_only=True,
                 )
             else:
                 costs, _, _ = solve_core.run_kernel(

@@ -243,7 +243,8 @@ def make_fused_solve(
     def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
                noise_mode: bool, smem_keys: Tuple[str, ...],
                weighted_only: bool = False, pert_dump: bool = False,
-               dump_pert: bool = False, pert_in: bool = False):
+               dump_pert: bool = False, pert_in: bool = False,
+               costs_only: bool = False):
         # ``weighted_only`` is the auto-lambda second phase: costs are an
         # input (computed by the full kernel at a provisional lambda), the
         # rollout is skipped, and the perturbations come from the same
@@ -268,11 +269,19 @@ def make_fused_solve(
             idx = n_vmem + len(smem_keys)
         noise_ref = refs[idx] if noise_mode else None
         idx += 1 if noise_mode else 0
+        # ``costs_only`` drops the softmin-partials outputs from the full
+        # solve: the auto-lambda phase 1 discards them (they were computed
+        # at the provisional lambda), so the per-tile exp/reduce/numer work
+        # — ~T*m reductions — is skipped entirely.
         if pert_dump:
             pert_ref = refs[idx]
         elif weighted_only:
             costs_in_ref = refs[idx]
             stats_ref, numer_ref = refs[idx + 1 : idx + 3]
+        elif costs_only:
+            costs_ref = refs[idx]
+            if dump_pert:
+                pert_out_ref = refs[idx + 1]
         elif dump_pert:
             costs_ref, stats_ref, numer_ref, pert_out_ref = refs[idx : idx + 4]
         else:
@@ -377,6 +386,9 @@ def make_fused_solve(
                 acc = jnp.where(sidx < num_samples, acc, 1e30)
             costs_ref[:, :] = acc
 
+        if costs_only:
+            return
+
         # --- tile-local softmin partials (mppi.py:374-385, 526-532) ---
         lam = lam_ref[0]
         s = -acc / lam
@@ -429,13 +441,17 @@ def make_fused_solve(
         noise: Optional[jnp.ndarray] = None,
         tile_offset=0,
         dump_pert: bool = False,
+        costs_only: bool = False,
     ):
         """Kernel launch -> (costs [num_local], stats, numer) tile partials.
 
-        With ``dump_pert``, a 4th output carries the clamped perturbed
+        With ``dump_pert``, an extra output carries the clamped perturbed
         action sequences in raw kernel layout ``[T*m, K_pad/128, 128]`` —
         feed it back as ``run_weighted(..., pert=...)`` so the auto-lambda
-        phase 2 reads them instead of regenerating.
+        phase 2 reads them instead of regenerating.  With ``costs_only``
+        the softmin-partials outputs (discarded by auto-lambda phase 1)
+        are dropped and their per-tile reductions skipped; the return is
+        then ``(costs,)`` or ``(costs, pert)``.
         """
         smem_keys = tuple(sorted(smem_arrays.keys()))
         noise_mode = noise is not None
@@ -471,18 +487,24 @@ def make_fused_solve(
 
         out_shape = [
             jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),  # costs
-            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),  # stats
-            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),  # numer
         ]
         out_specs = [
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
         ]
+        if not costs_only:
+            for _ in range(2):  # stats, numer partials
+                out_shape.append(
+                    jax.ShapeDtypeStruct(
+                        (num_tiles, SUBLANES, LANES), jnp.float32
+                    )
+                )
+                out_specs.append(
+                    pl.BlockSpec(
+                        (1, SUBLANES, LANES),
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
         if dump_pert:
             out_shape.append(
                 jax.ShapeDtypeStruct((d_flat, k_pad // LANES, LANES), jnp.float32)
@@ -498,7 +520,7 @@ def make_fused_solve(
         outs = pl.pallas_call(
             functools.partial(
                 kernel, noise_mode=noise_mode, smem_keys=smem_keys,
-                dump_pert=dump_pert,
+                dump_pert=dump_pert, costs_only=costs_only,
             ),
             grid=(num_tiles,),
             in_specs=in_specs,
@@ -512,9 +534,10 @@ def make_fused_solve(
             ),
             interpret=interpret,
         )(*args)
-        costs2d, stats, numer = outs[:3]
-
-        costs = costs2d.reshape(k_pad)[:num_local]
+        costs = outs[0].reshape(k_pad)[:num_local]
+        if costs_only:
+            return (costs, outs[1]) if dump_pert else (costs,)
+        stats, numer = outs[1], outs[2]
         if dump_pert:
             return costs, stats[:, 0, :], numer[:, 0, :], outs[3]
         return costs, stats[:, 0, :], numer[:, 0, :]

@@ -255,7 +255,7 @@ def make_sharded_fused_solver(
     pert_spec = PartitionSpec(None, sample_axis, None)
 
     def sharded_run_kernel(x0, prev_seq, lam, seed, smem_arrays, noise=None,
-                           tile_offset=0, dump_pert=False):
+                           tile_offset=0, dump_pert=False, costs_only=False):
         del tile_offset  # computed per shard from the mesh position
         smem_specs = jax.tree_util.tree_map(lambda _: rep, smem_arrays)
         noise_spec = shard if noise is not None else rep
@@ -265,12 +265,15 @@ def make_sharded_fused_solver(
             return core.run_kernel(
                 x0, prev_seq, lam, seed, smem_arrays,
                 noise=noise, tile_offset=idx * local_tiles,
-                dump_pert=dump_pert,
+                dump_pert=dump_pert, costs_only=costs_only,
             )
 
-        out_specs = (shard, shard, shard, pert_spec) if dump_pert else (
-            shard, shard, shard
-        )
+        if costs_only:
+            out_specs = (shard, pert_spec) if dump_pert else (shard,)
+        elif dump_pert:
+            out_specs = (shard, shard, shard, pert_spec)
+        else:
+            out_specs = (shard, shard, shard)
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
