@@ -32,7 +32,8 @@ def make_closed_loop(
     info_fn: Optional[Callable[[Any, jnp.ndarray], Any]] = None,
     jit: bool = True,
 ):
-    """Build ``run(state, x0, carry=None) -> (state, x_final, xs, us)``.
+    """Build ``run(state, x0, carry=None) -> (state, x_final, xs, us,
+    final_carry)``.
 
     Args:
         solver: an ``MPPISolver`` (XLA or fused facade), built unjitted

@@ -178,33 +178,42 @@ class MPPI:
         state,
         num_ticks: int,
         info_fn=None,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        carry=None,
+    ):
         """``num_ticks`` [solve -> apply first action -> plant step] ticks
         in ONE dispatched program (``core.closed_loop``).
 
         The single-dispatch simulation mode — no reference equivalent.
         ``plant_fn (x [n], u [m]) -> x_next [n]`` may differ from the
-        solver's internal model.  Updates the warm start like
+        solver's internal model; ``info_fn (carry, x) -> (info, carry)``
+        builds the per-tick cost context, seeded with ``carry``.  Pass
+        STABLE callables: runners are cached per ``(plant_fn, num_ticks,
+        info_fn)`` identity, so a fresh lambda per call recompiles the
+        episode program every time.  Updates the warm start like
         ``num_ticks`` calls to :meth:`forward` (per-solve diagnostics are
         unavailable afterwards — rollouts never reach the host).  Returns
-        ``(xs [num_ticks, n] visited states, us [num_ticks, m] applied
-        actions)``.
+        ``(xs [num_ticks, n], us [num_ticks, m])``, plus the final carry
+        when ``info_fn`` is given.
         """
         key = (id(plant_fn), num_ticks, id(info_fn))
         run = self._episode_runners.get(key)
         if run is None:
             from mppi_playground_tpu.core.closed_loop import make_closed_loop
 
+            if len(self._episode_runners) >= 8:  # bound compile cache
+                self._episode_runners.pop(next(iter(self._episode_runners)))
             run = make_closed_loop(
                 self._solver, plant_fn, num_ticks, info_fn=info_fn
             )
             self._episode_runners[key] = run
-        st, _xf, xs, us, _carry = run(
-            self._state, jnp.asarray(state, self.config.dtype)
+        st, _xf, xs, us, final_carry = run(
+            self._state, jnp.asarray(state, self.config.dtype), carry
         )
         self._state = st
         self._last_aux = None
         self._last_noise = None
+        if info_fn is not None:
+            return xs, us, final_carry
         return xs, us
 
     def get_samples_from_posterior(

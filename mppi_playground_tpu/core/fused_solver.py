@@ -11,13 +11,15 @@ smoothing/warm-start epilogue are the *same functions* as the XLA path
 Auto-lambda runs fused too: MPO weights with the current lambda (single
 kernel pass + an optax step on the costs); LBPS/ESSPS solve lambda from
 the phase-1 costs on device, then a second ``weighted_only`` kernel pass
-regenerates the perturbations from the same per-tile seeds and weights
-them at the final lambda — recompute instead of materializing [K, T, m].
+weights at the final lambda.  Phase 1 dumps the clamped perturbations to
+HBM (free — hidden under the rollout) and phase 2 reads them back;
+regenerating from the per-tile seeds remains the fallback for cores
+without dump support.
 
 Scope (asserted): f32, no rollout storage, ``horizon * dim_control <=
 128``.  ``get_top_samples`` works without stored rollouts: the winning
 perturbations are regenerated from the solve's per-tile PRNG seeds (or
-its injected noise) by a ``pert_dump`` kernel pass and re-rolled
+its injected noise) by a ``regen_dump_only`` kernel pass and re-rolled
 (mppi.py:462-487).  The XLA and fused paths are numerically equivalent
 given the same noise (tests/test_fused_solve.py).
 """

@@ -187,6 +187,10 @@ class RacingController:
         )
         self.solver_state = st
         self.current_path_index = cind
+        # per-solve diagnostics/reference are stale after a scanned episode
+        self.reference_path = None
+        self._last_aux = None
+        self._last_noise = None
         return xs, us
 
     def get_top_samples(

@@ -25,10 +25,13 @@ from ~200 MB to ~0.5 MB.
 
 Constraints of the fused path (asserted at build): f32,
 ``horizon * dim_control <= 128``, no rollout storage.  Auto-lambda
-(LBPS/ESSPS) uses a two-phase split: phase 1 produces costs, lambda is
-solved on device, and a ``weighted_only`` second pass regenerates the
-perturbations from the same seeds.  A noise-injection variant
-(``noise=...``) exists for equivalence tests against the XLA solver.
+(LBPS/ESSPS) uses a two-phase split: phase 1 produces the costs and dumps
+the clamped perturbations to HBM (free — hidden under the rollout), lambda
+is solved on device, and a ``weighted_only`` second pass reads the dump
+back (``pert=``) to weight at the final lambda; regeneration from the
+seeds remains as the fallback and diagnostics path.  A noise-injection
+variant (``noise=...``) exists for equivalence tests against the XLA
+solver.
 """
 
 from __future__ import annotations
@@ -242,7 +245,7 @@ def make_fused_solve(
 
     def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
                noise_mode: bool, smem_keys: Tuple[str, ...],
-               weighted_only: bool = False, pert_dump: bool = False,
+               weighted_only: bool = False, regen_dump_only: bool = False,
                dump_pert: bool = False, pert_in: bool = False,
                costs_only: bool = False):
         # ``weighted_only`` is the auto-lambda second phase: costs are an
@@ -253,12 +256,12 @@ def make_fused_solve(
         # holds the phase-1 ``dump_pert`` output: already mean-shifted and
         # clamped, so PRNG + Box-Muller + clamp are all skipped — at
         # flagship scale reading 40 MB beats regenerating ~10M normals).
-        # ``pert_dump`` is the diagnostics mode (get_top_samples on the
-        # fused path): regenerate the perturbed action sequences from the
-        # same seeds and write them out, skipping rollout and softmin.
-        # ``dump_pert`` augments the FULL solve with a perturbation dump
-        # output (phase 1 of the read-back auto-lambda path).
-        if weighted_only or pert_dump:
+        # ``regen_dump_only`` is the diagnostics mode (get_top_samples
+        # on the fused path): regenerate the perturbed action sequences
+        # from the same seeds and write them out, skipping rollout and
+        # softmin.  ``dump_pert`` instead AUGMENTS the full solve with the
+        # same dump output (phase 1 of the read-back auto-lambda path).
+        if weighted_only or regen_dump_only:
             vmem_refs = ()
             smem_refs = {}
             idx = 0
@@ -273,7 +276,7 @@ def make_fused_solve(
         # solve: the auto-lambda phase 1 discards them (they were computed
         # at the provisional lambda), so the per-tile exp/reduce/numer work
         # — ~T*m reductions — is skipped entirely.
-        if pert_dump:
+        if regen_dump_only:
             pert_ref = refs[idx]
         elif weighted_only:
             costs_in_ref = refs[idx]
@@ -292,7 +295,7 @@ def make_fused_solve(
         # invariant to the mesh shape (SURVEY.md §7 hard part #6).
         i = offset_ref[0] + pl.program_id(0)
         vmem_vals = (
-            None if (weighted_only or pert_dump)
+            None if (weighted_only or regen_dump_only)
             else vmem_treedef.unflatten([r[:] for r in vmem_refs])
         )
 
@@ -332,15 +335,16 @@ def make_fused_solve(
                 row.append(jnp.clip(v, u_min[j], u_max[j]))
             pert.append(row)
 
-        if pert_dump:
+        def write_pert(ref):
             for t in range(horizon):
                 for j in range(dim_control):
-                    pert_ref[t * dim_control + j, :, :] = pert[t][j]
+                    ref[t * dim_control + j, :, :] = pert[t][j]
+
+        if regen_dump_only:
+            write_pert(pert_ref)
             return
         if dump_pert:
-            for t in range(horizon):
-                for j in range(dim_control):
-                    pert_out_ref[t * dim_control + j, :, :] = pert[t][j]
+            write_pert(pert_out_ref)
 
         if weighted_only:
             acc = costs_in_ref[:, :]
@@ -660,7 +664,7 @@ def make_fused_solve(
 
         pert = pl.pallas_call(
             functools.partial(
-                kernel, noise_mode=noise_mode, smem_keys=(), pert_dump=True
+                kernel, noise_mode=noise_mode, smem_keys=(), regen_dump_only=True
             ),
             grid=(num_tiles,),
             in_specs=in_specs,

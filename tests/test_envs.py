@@ -265,3 +265,21 @@ def test_racing_run_episode_matches_per_tick_updates(racing_env):
         np.asarray(b.solver_state.previous_action_seq),
         atol=1e-5,
     )
+
+
+def test_racing_run_episode_invalidates_diagnostics(racing_env):
+    """get_top_samples after run_episode must raise, not replay the
+    pre-episode solve's trajectories."""
+    import pytest as _pytest
+
+    from mppi_playground_tpu.envs.racing_controller import RacingController
+
+    ctrl = RacingController(racing_env, horizon=6, num_samples=64,
+                            solver_backend="xla", store_rollouts=True)
+    x0 = racing_env.reset()
+    ctrl.update(x0)
+    ctrl.get_top_samples(5)  # works after a per-tick update
+    ctrl.run_episode(x0, 2)
+    assert ctrl.reference_path is None
+    with _pytest.raises(RuntimeError, match="prior update"):
+        ctrl.get_top_samples(5)

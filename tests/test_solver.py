@@ -267,3 +267,32 @@ def test_mppi_run_episode_matches_forward_loop():
     # diagnostics are per-solve; the scanned episode leaves none behind
     with pytest.raises(RuntimeError, match="prior forward"):
         a.get_top_samples(5)
+
+
+def test_mppi_run_episode_threads_info_fn_carry():
+    """info_fn's carry is seeded from the carry argument and returned."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mppi_playground_tpu import MPPI
+    from mppi_playground_tpu.models import pendulum
+
+    c = MPPI(
+        horizon=6, num_samples=128, dim_state=2, dim_control=1,
+        dynamics=pendulum.dynamics, cost_func=pendulum.cost,
+        u_min=jnp.asarray([-2.0]), u_max=jnp.asarray([2.0]),
+        sigmas=jnp.asarray([1.0]), lambda_=1.0, store_rollouts=False,
+    )
+
+    def info_fn(tick_count, x):
+        return {}, tick_count + 1
+
+    def plant(x, u):
+        return pendulum.dynamics(x[None], u[None])[0]
+
+    xs, us, carry = c.run_episode(
+        plant, jnp.asarray([np.pi, 0.0]), 4, info_fn=info_fn,
+        carry=jnp.asarray(10, jnp.int32),
+    )
+    assert int(carry) == 14  # seeded at 10, incremented once per tick
+    assert xs.shape == (4, 2)
