@@ -82,7 +82,11 @@ def build_row_interval_table(
         max_m = max(max_m, len(starts))
 
     assert h < 2048 and w < 8192, "packed interval encoding limits"
-    n_table_rows = -(-w // TABLE_ROWS) * TABLE_ROWS
+    # pad rows to LANES multiples only: the in-kernel lookup broadcasts
+    # and tries each 128-row sublane group, so ceil(w/128) groups is the
+    # query cost — padding to full [8,128] vregs would always pay 8
+    # (racing 800 rows -> 7 groups; navigation 200 rows -> 2)
+    n_table_rows = -(-w // LANES) * LANES
     lo = np.full((max_m, n_table_rows), float(h))
     hi = np.full((max_m, n_table_rows), float(h))
     for r, (starts, ends) in enumerate(rows):
