@@ -380,3 +380,21 @@ def test_mix_seed_uses_full_word():
     h = jnp.int32(0x1234567)
     assert int(_mix_seed(h, tile)) != int(_mix_seed(~h, tile))
 
+
+
+def test_interval_table_pads_to_lane_multiples():
+    """Tables pad rows to ceil(w/128)*128 — the broadcast-try group count
+    (and thus query cost) tracks the grid height instead of always 8."""
+    rng = np.random.default_rng(0)
+    origin = np.asarray([10.0, 10.0])
+    for w, expected_groups in [(80, 1), (200, 2), (800, 7), (1024, 8)]:
+        grid = (rng.random((w, 64)) < 0.2).astype(np.float32)
+        t = build_row_interval_table(grid, origin, 0.1)
+        assert t.packed.shape[1] == expected_groups, (w, t.packed.shape)
+        # spot-check correctness at the padding boundary row (the query
+        # maps px -> ix = round(px / cell + origin[0]))
+        px = jnp.asarray([((w - 1) - 10.0) * 0.1], jnp.float32)
+        for iy in (0, 33, 63):
+            py = jnp.asarray([(iy - 10.0) * 0.1], jnp.float32)
+            got = float(interval_query(t, px, py)[0])
+            assert got == float(grid[w - 1, iy]), (w, iy)
