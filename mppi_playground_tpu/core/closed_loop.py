@@ -25,15 +25,34 @@ from jax import lax
 from mppi_playground_tpu.core.config import MPPIState
 
 
+def _freeze(done, old_tree, new_tree):
+    """Select ``old_tree`` where ``done`` (broadcast from the left).
+
+    Leaves that do not carry the episode axis (``done``'s shape is not
+    their leading shape) cannot be frozen per-episode and pass through
+    as ``new`` — e.g. a fleet ``info_fn`` carry shared by all episodes.
+    """
+
+    def pick(o, n):
+        if n.ndim < done.ndim or n.shape[: done.ndim] != done.shape:
+            return n
+        return jnp.where(
+            done.reshape(done.shape + (1,) * (n.ndim - done.ndim)), o, n
+        )
+
+    return jax.tree.map(pick, old_tree, new_tree)
+
+
 def make_closed_loop(
     solver,
     plant_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     num_ticks: int,
     info_fn: Optional[Callable[[Any, jnp.ndarray], Any]] = None,
+    done_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     jit: bool = True,
 ):
     """Build ``run(state, x0, carry=None) -> (state, x_final, xs, us,
-    final_carry)``.
+    final_carry[, episode])``.
 
     Args:
         solver: an ``MPPISolver`` (XLA or fused facade), built unjitted
@@ -44,28 +63,53 @@ def make_closed_loop(
         info_fn: optional ``(carry, x) -> (info_dict, new_carry)``
             producing the per-tick cost context (e.g. the racing
             reference trajectory + monotone path index).
+        done_fn: optional termination predicate ``(x [n]) -> bool``
+            evaluated on the post-step state, matching the reference
+            host loops' ``break`` on goal/collision after ``env.step``
+            (/root/reference/example/navigation2d.py:39-46).  Once done,
+            the episode freezes: solver state, plant state, and the
+            ``info_fn`` carry stop updating and recorded actions are
+            zero.  The scan still runs ``num_ticks`` iterations (SPMD
+            programs cannot shrink), so this buys the reference's
+            *semantics* — frozen trajectories and an exact tick count —
+            not compute savings.
 
     Returns ``run`` with outputs: final solver state, final plant state,
     ``xs [num_ticks, n]`` visited states, ``us [num_ticks, m]`` applied
     actions, and the final ``info_fn`` carry (None without ``info_fn``).
+    With ``done_fn``, a sixth element ``episode`` is appended: a dict
+    with ``done`` (bool, terminated before the tick budget) and
+    ``ticks`` (int32, ticks executed before termination, ``num_ticks``
+    if never done).
     """
 
     def run(state: MPPIState, x0: jnp.ndarray, carry: Any = None):
         def tick(loop_carry, _):
-            st, x, c = loop_carry
+            st, x, c, done, ticks = loop_carry
             if info_fn is not None:
-                info, c = info_fn(c, x)
+                info, c_next = info_fn(c, x)
             else:
-                info = None
+                info, c_next = None, c
             result = solver.solve(st, x, info=info)
-            u = result.action_seq[0]
-            x_next = plant_fn(x, u)
-            return (result.state, x_next, c), (x, u)
+            u = jnp.where(done, 0.0, result.action_seq[0])
+            x_next = jnp.where(done, x, plant_fn(x, u))
+            st_next = _freeze(done, st, result.state)
+            if info_fn is not None:
+                c_next = _freeze(done, c, c_next)
+            ticks = ticks + jnp.where(done, 0, 1).astype(jnp.int32)
+            if done_fn is not None:
+                done = done | done_fn(x_next)
+            return (st_next, x_next, c_next, done, ticks), (x, u)
 
-        (st, xf, c), (xs, us) = lax.scan(
-            tick, (state, jnp.asarray(x0), carry), None, length=num_ticks
+        done0 = jnp.asarray(False)
+        ticks0 = jnp.asarray(0, jnp.int32)
+        (st, xf, c, done, ticks), (xs, us) = lax.scan(
+            tick, (state, jnp.asarray(x0), carry, done0, ticks0), None,
+            length=num_ticks,
         )
-        return st, xf, xs, us, c
+        if done_fn is None:
+            return st, xf, xs, us, c
+        return st, xf, xs, us, c, {"done": done, "ticks": ticks}
 
     return jax.jit(run) if jit else run
 
@@ -75,6 +119,7 @@ def make_fleet_closed_loop(
     plant_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     num_ticks: int,
     info_fn: Optional[Callable[[Any, jnp.ndarray], Any]] = None,
+    done_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     jit: bool = True,
 ):
     """Fleet of independent episodes in ONE dispatched program.
@@ -92,25 +137,48 @@ def make_fleet_closed_loop(
             where ``batched_info`` is a dict of ``[B, ...]`` arrays — the
             per-scenario cost context (e.g. each episode's reference
             trajectory), forwarded as ``solve_batch(batched_info=...)``.
+        done_fn: optional batched termination predicate
+            ``(xs [B,n]) -> bool [B]`` evaluated on the post-step
+            states.  Episodes that report done freeze individually
+            (solver state, plant state, per-episode ``info_fn`` carry
+            leaves whose leading axis is ``B``); the fleet keeps running
+            until the tick budget — per-episode early exit cannot shrink
+            an SPMD program.  See :func:`make_closed_loop`.
 
     Returns ``run(states, x0s, carry=None) -> (states, xs_final,
-    xs [num_ticks, B, n], us [num_ticks, B, m], final_carry)``.
+    xs [num_ticks, B, n], us [num_ticks, B, m], final_carry[, episode])``
+    where ``episode`` (only with ``done_fn``) holds ``done [B]`` and
+    ``ticks [B]`` int32 ticks executed per episode.
     """
 
     def run(states: MPPIState, x0s: jnp.ndarray, carry: Any = None):
-        def tick(loop_carry, _):
-            sts, xs, c = loop_carry
-            if info_fn is not None:
-                binfo, c = info_fn(c, xs)
-            else:
-                binfo = None
-            result = batched_solver.solve_batch(sts, xs, batched_info=binfo)
-            us = result.action_seq[:, 0]
-            return (result.state, plant_fn(xs, us), c), (xs, us)
+        batch = jnp.shape(x0s)[0]
 
-        (sts, xf, c), (xs, us) = lax.scan(
-            tick, (states, jnp.asarray(x0s), carry), None, length=num_ticks
+        def tick(loop_carry, _):
+            sts, xs, c, done, ticks = loop_carry
+            if info_fn is not None:
+                binfo, c_next = info_fn(c, xs)
+            else:
+                binfo, c_next = None, c
+            result = batched_solver.solve_batch(sts, xs, batched_info=binfo)
+            us = jnp.where(done[:, None], 0.0, result.action_seq[:, 0])
+            xs_next = jnp.where(done[:, None], xs, plant_fn(xs, us))
+            sts_next = _freeze(done, sts, result.state)
+            if info_fn is not None:
+                c_next = _freeze(done, c, c_next)
+            ticks = ticks + jnp.where(done, 0, 1).astype(jnp.int32)
+            if done_fn is not None:
+                done = done | done_fn(xs_next)
+            return (sts_next, xs_next, c_next, done, ticks), (xs, us)
+
+        done0 = jnp.zeros((batch,), bool)
+        ticks0 = jnp.zeros((batch,), jnp.int32)
+        (sts, xf, c, done, ticks), (xs, us) = lax.scan(
+            tick, (states, jnp.asarray(x0s), carry, done0, ticks0), None,
+            length=num_ticks,
         )
-        return sts, xf, xs, us, c
+        if done_fn is None:
+            return sts, xf, xs, us, c
+        return sts, xf, xs, us, c, {"done": done, "ticks": ticks}
 
     return jax.jit(run) if jit else run

@@ -179,6 +179,7 @@ class MPPI:
         num_ticks: int,
         info_fn=None,
         carry=None,
+        done_fn=None,
     ):
         """``num_ticks`` [solve -> apply first action -> plant step] ticks
         in ONE dispatched program (``core.closed_loop``).
@@ -193,9 +194,13 @@ class MPPI:
         ``num_ticks`` calls to :meth:`forward` (per-solve diagnostics are
         unavailable afterwards — rollouts never reach the host).  Returns
         ``(xs [num_ticks, n], us [num_ticks, m])``, plus the final carry
-        when ``info_fn`` is given.
+        when ``info_fn`` is given, plus an ``episode`` dict (``done``
+        bool, ``ticks`` int32) when ``done_fn (x) -> bool`` is given —
+        the on-device analogue of the reference loops' ``break`` on
+        goal/collision (/root/reference/example/navigation2d.py:39-46);
+        the episode freezes after ``done_fn`` fires.
         """
-        key = (id(plant_fn), num_ticks, id(info_fn))
+        key = (id(plant_fn), num_ticks, id(info_fn), id(done_fn))
         run = self._episode_runners.get(key)
         if run is None:
             from mppi_playground_tpu.core.closed_loop import make_closed_loop
@@ -203,18 +208,21 @@ class MPPI:
             if len(self._episode_runners) >= 8:  # bound compile cache
                 self._episode_runners.pop(next(iter(self._episode_runners)))
             run = make_closed_loop(
-                self._solver, plant_fn, num_ticks, info_fn=info_fn
+                self._solver, plant_fn, num_ticks, info_fn=info_fn,
+                done_fn=done_fn,
             )
             self._episode_runners[key] = run
-        st, _xf, xs, us, final_carry = run(
-            self._state, jnp.asarray(state, self.config.dtype), carry
-        )
+        out = run(self._state, jnp.asarray(state, self.config.dtype), carry)
+        st, _xf, xs, us, final_carry = out[:5]
         self._state = st
         self._last_aux = None
         self._last_noise = None
+        ret = (xs, us)
         if info_fn is not None:
-            return xs, us, final_carry
-        return xs, us
+            ret = ret + (final_carry,)
+        if done_fn is not None:
+            ret = ret + (out[5],)
+        return ret
 
     def get_samples_from_posterior(
         self, optimal_solution: jnp.ndarray, state, num_samples: int

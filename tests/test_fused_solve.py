@@ -363,6 +363,55 @@ def test_closed_loop_matches_host_loop():
     np.testing.assert_allclose(np.asarray(xf), np.asarray(x), atol=1e-6)
 
 
+def test_closed_loop_done_fn_freezes_episode():
+    """done_fn gives the single-dispatch episode the reference loops'
+    break-on-termination semantics (example/navigation2d.py:39-46):
+    identical prefix vs the no-done run, then frozen state, zero
+    recorded actions, and an exact executed-tick count."""
+    from mppi_playground_tpu.core.closed_loop import make_closed_loop
+
+    cfg = _config()
+    dyn, cost = _toy_aos()
+    solver = make_solver(cfg, dyn, cost, jit=False, donate_state=False)
+
+    def plant(x, u):
+        return dyn(x[None], u[None])[0]
+
+    def info_fn(carry, x):
+        return {"target": jnp.ones((HORIZON, 1), jnp.float32) * 2.0}, carry
+
+    num_ticks = 8
+    # point mass from [0.9, 1.0] driven toward 2.0 crosses 1.1 at tick
+    # 2-4 under ANY admissible action sequence (|a| <= 1, v decays 0.9)
+    x0 = jnp.asarray([0.9, 1.0], jnp.float32)
+    done_fn = lambda x: x[0] > 1.1  # noqa: E731
+
+    base = make_closed_loop(solver, plant, num_ticks, info_fn=info_fn)
+    _, _, xs_b, us_b, _ = base(solver.init(), x0, None)
+
+    run = make_closed_loop(
+        solver, plant, num_ticks, info_fn=info_fn, done_fn=done_fn
+    )
+    _, xf, xs, us, _, ep = run(solver.init(), x0, None)
+
+    assert bool(ep["done"])
+    t0 = int(ep["ticks"])
+    assert 1 <= t0 < num_ticks
+    # executed prefix identical to the unterminated run
+    np.testing.assert_allclose(
+        np.asarray(us[:t0]), np.asarray(us_b[:t0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(xs[:t0]), np.asarray(xs_b[:t0]), atol=1e-6
+    )
+    # the first post-termination recorded state is the terminal state,
+    # done_fn fired on it, and everything after is frozen
+    assert bool(done_fn(xs[t0]))
+    np.testing.assert_array_equal(np.asarray(us[t0:]), 0.0)
+    for t in range(t0, num_ticks):
+        np.testing.assert_array_equal(np.asarray(xs[t]), np.asarray(xf))
+
+
 def test_mix_seed_uses_full_word():
     """The per-tile seed hash must use logical (not arithmetic) right
     shifts: with arithmetic shifts every xor-shift stage maps h and ~h to

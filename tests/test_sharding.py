@@ -193,3 +193,56 @@ def test_batched_info_per_scenario_cost_context():
     for b in range(4):
         direction = np.asarray(goals[b]) / np.linalg.norm(np.asarray(goals[b]))
         assert float(first_moves[b] @ direction) > 0.1, (b, first_moves[b])
+
+
+def test_fleet_done_fn_freezes_episodes_independently():
+    """Per-episode done masking in the fleet runner: a terminated episode
+    freezes (state, actions, tick count) while the rest of the fleet
+    keeps running to the tick budget."""
+    from mppi_playground_tpu.core.closed_loop import make_fleet_closed_loop
+
+    def dynamics(state, action):
+        new_v = 0.9 * state[:, 1] + 0.1 * jnp.clip(action[:, 0], -1.0, 1.0)
+        return jnp.stack([state[:, 0] + 0.1 * new_v, new_v], axis=1)
+
+    def cost(state, action, info):
+        return (state[:, 0] - 2.0) ** 2 + 0.1 * state[:, 1] ** 2
+
+    config = _config(
+        num_samples=256, u_min=(-1.0,), u_max=(1.0,), sigmas=(0.7,)
+    )
+    mesh = make_mesh(mesh_shape=(2, 4))
+    batched = make_batched_solver(
+        config, dynamics, cost, mesh, batch_size=2,
+        jit=False, donate_state=False,
+    )
+
+    ticks = 8
+    # episode 0 starts at pos 0.9 with velocity 1.0: it crosses 1.1 by
+    # tick 4 under ANY admissible actions; episode 1 starts at -5.0 and
+    # cannot reach 1.1 within 8 ticks (|dpos| <= ~0.1/tick)
+    done_fn = lambda xs: xs[:, 0] > 1.1  # noqa: E731
+    x0s = jnp.asarray([[0.9, 1.0], [-5.0, 0.0]], jnp.float32)
+
+    base = make_fleet_closed_loop(batched, dynamics, ticks)
+    _, _, xs_b, us_b, _ = base(batched.init_batch(seed=5), x0s)
+
+    fleet = make_fleet_closed_loop(batched, dynamics, ticks, done_fn=done_fn)
+    _, xf, xs, us, _, ep = fleet(batched.init_batch(seed=5), x0s)
+
+    done, nt = np.asarray(ep["done"]), np.asarray(ep["ticks"])
+    assert bool(done[0]) and not bool(done[1])
+    t0 = int(nt[0])
+    assert 1 <= t0 < ticks and int(nt[1]) == ticks
+
+    # episode 0: identical executed prefix, then frozen state + zero actions
+    np.testing.assert_allclose(
+        np.asarray(us[:t0, 0]), np.asarray(us_b[:t0, 0]), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(us[t0:, 0]), 0.0)
+    for t in range(t0, ticks):
+        np.testing.assert_array_equal(np.asarray(xs[t, 0]), np.asarray(xf[0]))
+
+    # episode 1 is untouched by episode 0's termination
+    np.testing.assert_allclose(np.asarray(xs[:, 1]), np.asarray(xs_b[:, 1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(us[:, 1]), np.asarray(us_b[:, 1]), atol=1e-5)
