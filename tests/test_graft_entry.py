@@ -22,3 +22,17 @@ def test_dryrun_multichip_eight_devices():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multihost_two_processes():
+    """The jax.distributed bootstrap path executes with process_count==2.
+
+    Spawns the 2-process coordinator rendezvous + cross-process sharded
+    solve (benchmarks/multihost_dryrun.py) in fresh subprocesses, so it
+    is independent of this process's pinned single-process CPU backend.
+    ~20 s; covers the one code path a virtual single-process mesh cannot
+    (SURVEY.md §2 distributed-backend checklist).
+    """
+    import __graft_entry__ as ge
+
+    ge.dryrun_multihost()
