@@ -10,7 +10,7 @@ test:            ## full suite on a virtual 8-device CPU mesh
 	$(PY) -m pytest tests/ -q
 
 test-fast:       ## skip the slow closed-loop / subprocess tests
-	$(PY) -m pytest tests/ -q -x --deselect tests/test_graft_entry.py::test_dryrun_multihost_two_processes
+	$(PY) -m pytest tests/ -q -x -m "not slow"
 
 bench:           ## flagship benchmark (racing T=50, K=100k) -> one JSON line
 	$(PY) bench.py

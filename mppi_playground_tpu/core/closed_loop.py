@@ -31,6 +31,11 @@ def _freeze(done, old_tree, new_tree):
     Leaves that do not carry the episode axis (``done``'s shape is not
     their leading shape) cannot be frozen per-episode and pass through
     as ``new`` — e.g. a fleet ``info_fn`` carry shared by all episodes.
+
+    The test is purely structural: in a fleet, a *shared* carry leaf
+    whose leading dimension happens to equal the batch size B is
+    indistinguishable from a per-episode leaf and gets frozen row-wise
+    (see the ``done_fn`` docstring in :func:`make_fleet_closed_loop`).
     """
 
     def pick(o, n):
@@ -78,13 +83,27 @@ def make_closed_loop(
     ``xs [num_ticks, n]`` visited states, ``us [num_ticks, m]`` applied
     actions, and the final ``info_fn`` carry (None without ``info_fn``).
     With ``done_fn``, a sixth element ``episode`` is appended: a dict
-    with ``done`` (bool, terminated before the tick budget) and
+    with ``done`` (bool, terminated at or before the tick budget —
+    including a first fire on the final tick's post-step state) and
     ``ticks`` (int32, ticks executed before termination, ``num_ticks``
     if never done).
     """
 
     def run(state: MPPIState, x0: jnp.ndarray, carry: Any = None):
+        # Without done_fn the tick body carries no done/ticks state and
+        # traces no masking selects — the hot serving paths (bench.py,
+        # RacingController.run_episode) pay nothing for the feature.
         def tick(loop_carry, _):
+            st, x, c = loop_carry
+            if info_fn is not None:
+                info, c_next = info_fn(c, x)
+            else:
+                info, c_next = None, c
+            result = solver.solve(st, x, info=info)
+            u = result.action_seq[0]
+            return (result.state, plant_fn(x, u), c_next), (x, u)
+
+        def tick_done(loop_carry, _):
             st, x, c, done, ticks = loop_carry
             if info_fn is not None:
                 info, c_next = info_fn(c, x)
@@ -97,18 +116,20 @@ def make_closed_loop(
             if info_fn is not None:
                 c_next = _freeze(done, c, c_next)
             ticks = ticks + jnp.where(done, 0, 1).astype(jnp.int32)
-            if done_fn is not None:
-                done = done | done_fn(x_next)
+            done = done | done_fn(x_next)
             return (st_next, x_next, c_next, done, ticks), (x, u)
 
+        if done_fn is None:
+            (st, xf, c), (xs, us) = lax.scan(
+                tick, (state, jnp.asarray(x0), carry), None, length=num_ticks
+            )
+            return st, xf, xs, us, c
         done0 = jnp.asarray(False)
         ticks0 = jnp.asarray(0, jnp.int32)
         (st, xf, c, done, ticks), (xs, us) = lax.scan(
-            tick, (state, jnp.asarray(x0), carry, done0, ticks0), None,
+            tick_done, (state, jnp.asarray(x0), carry, done0, ticks0), None,
             length=num_ticks,
         )
-        if done_fn is None:
-            return st, xf, xs, us, c
         return st, xf, xs, us, c, {"done": done, "ticks": ticks}
 
     return jax.jit(run) if jit else run
@@ -143,7 +164,12 @@ def make_fleet_closed_loop(
             (solver state, plant state, per-episode ``info_fn`` carry
             leaves whose leading axis is ``B``); the fleet keeps running
             until the tick budget — per-episode early exit cannot shrink
-            an SPMD program.  See :func:`make_closed_loop`.
+            an SPMD program.  Caveat: "per-episode" is detected purely
+            by shape — a *shared* carry leaf whose leading dimension
+            coincidentally equals ``B`` (e.g. a B-waypoint path common
+            to all episodes) would be frozen row-wise; give shared
+            leaves a different leading dimension (or an extra leading
+            axis of 1).  See :func:`make_closed_loop`.
 
     Returns ``run(states, x0s, carry=None) -> (states, xs_final,
     xs [num_ticks, B, n], us [num_ticks, B, m], final_carry[, episode])``
@@ -155,6 +181,16 @@ def make_fleet_closed_loop(
         batch = jnp.shape(x0s)[0]
 
         def tick(loop_carry, _):
+            sts, xs, c = loop_carry
+            if info_fn is not None:
+                binfo, c_next = info_fn(c, xs)
+            else:
+                binfo, c_next = None, c
+            result = batched_solver.solve_batch(sts, xs, batched_info=binfo)
+            us = result.action_seq[:, 0]
+            return (result.state, plant_fn(xs, us), c_next), (xs, us)
+
+        def tick_done(loop_carry, _):
             sts, xs, c, done, ticks = loop_carry
             if info_fn is not None:
                 binfo, c_next = info_fn(c, xs)
@@ -167,18 +203,20 @@ def make_fleet_closed_loop(
             if info_fn is not None:
                 c_next = _freeze(done, c, c_next)
             ticks = ticks + jnp.where(done, 0, 1).astype(jnp.int32)
-            if done_fn is not None:
-                done = done | done_fn(xs_next)
+            done = done | done_fn(xs_next)
             return (sts_next, xs_next, c_next, done, ticks), (xs, us)
 
+        if done_fn is None:
+            (sts, xf, c), (xs, us) = lax.scan(
+                tick, (states, jnp.asarray(x0s), carry), None, length=num_ticks
+            )
+            return sts, xf, xs, us, c
         done0 = jnp.zeros((batch,), bool)
         ticks0 = jnp.zeros((batch,), jnp.int32)
         (sts, xf, c, done, ticks), (xs, us) = lax.scan(
-            tick, (states, jnp.asarray(x0s), carry, done0, ticks0), None,
+            tick_done, (states, jnp.asarray(x0s), carry, done0, ticks0), None,
             length=num_ticks,
         )
-        if done_fn is None:
-            return sts, xf, xs, us, c
         return sts, xf, xs, us, c, {"done": done, "ticks": ticks}
 
     return jax.jit(run) if jit else run

@@ -189,8 +189,8 @@ class MPPI:
         solver's internal model; ``info_fn (carry, x) -> (info, carry)``
         builds the per-tick cost context, seeded with ``carry``.  Pass
         STABLE callables: runners are cached per ``(plant_fn, num_ticks,
-        info_fn)`` identity, so a fresh lambda per call recompiles the
-        episode program every time.  Updates the warm start like
+        info_fn, done_fn)`` identity, so a fresh lambda per call
+        recompiles the episode program every time.  Updates the warm start like
         ``num_ticks`` calls to :meth:`forward` (per-solve diagnostics are
         unavailable afterwards — rollouts never reach the host).  Returns
         ``(xs [num_ticks, n], us [num_ticks, m])``, plus the final carry

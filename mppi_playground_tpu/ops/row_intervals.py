@@ -8,8 +8,10 @@ corridor has <= 3 blocked intervals per row and the obstacle field <= 6
 a full map query needs only ``2 * max_intervals`` values per point.
 
 Why this representation: inside a Pallas kernel the interval tables are a
-handful of ``[8, 128]`` vregs in VMEM, and the per-point row lookup is a
-lane-gather plus an 8-way sublane select (~3 vector ops per table slot).
+handful of 128-lane rows in VMEM, and the per-point row lookup is a
+lane-gather per ``ceil(width/128)`` row group plus selects (~3 vector ops
+per table slot per group; racing's 800-row maps need 7 groups,
+navigation's 200-row maps 2).
 That prices the whole two-map MPCC occupancy query at ~0.4 vector
 instructions per rollout point, versus ~7 ns/point for an XLA HBM gather
 (the reference's approach on GPU) or ~`num_features` multiply-adds for the
@@ -31,7 +33,6 @@ import numpy as np
 
 LANES = 128
 SUBLANES = 8
-TABLE_ROWS = SUBLANES * LANES  # 1024 table entries per [8, 128] vreg
 
 
 @jax.tree_util.register_dataclass
@@ -39,11 +40,12 @@ TABLE_ROWS = SUBLANES * LANES  # 1024 table entries per [8, 128] vreg
 class RowIntervalTable:
     """Blocked-interval tables for one occupancy grid.
 
-    ``packed`` is ``[M, 8, 128]``: slot ``k`` holds the k-th blocked
-    interval ``[lo, hi)`` of row ``ix`` at sublane ``ix >> 7``, lane
-    ``ix & 127``.  Unused slots are ``lo=hi=height`` (empty).  Rows beyond
-    the grid (table padding) are fully blocked, matching the out-of-bounds
-    cost of 1.0.
+    ``packed`` is ``[M, G, 128]`` with ``G = ceil(width / 128)`` row
+    groups: slot ``k`` holds the k-th blocked interval ``[lo, hi)`` of
+    grid row ``ix`` at group ``ix >> 7``, lane ``ix & 127``.  Unused
+    slots are ``lo=hi=height`` (empty).  Rows beyond the grid (the
+    padding up to the next 128 multiple) are fully blocked, matching the
+    out-of-bounds cost of 1.0.
     """
 
     # Each slot packs one interval as lo * 2048 + hi — a single exact-f32

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_entry_compiles_and_runs():
@@ -24,6 +25,7 @@ def test_dryrun_multichip_eight_devices():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multihost_two_processes():
     """The jax.distributed bootstrap path executes with process_count==2.
 
