@@ -1,7 +1,6 @@
 """Driver entry points compile and execute."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -246,3 +246,54 @@ def test_fleet_done_fn_freezes_episodes_independently():
     # episode 1 is untouched by episode 0's termination
     np.testing.assert_allclose(np.asarray(xs[:, 1]), np.asarray(xs_b[:, 1]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(us[:, 1]), np.asarray(us_b[:, 1]), atol=1e-5)
+
+
+def test_fleet_done_fn_carry_freeze_is_per_leading_axis():
+    """Freeze semantics of the ``info_fn`` carry under ``done_fn``:
+    leaves with the episode axis ([B, ...]) freeze per-episode, leaves
+    without it (shared, leading dim != B) keep updating for the whole
+    fleet (core/closed_loop.py ``_freeze``)."""
+    from mppi_playground_tpu.core.closed_loop import make_fleet_closed_loop
+
+    B, ticks = 2, 6
+
+    def dynamics(state, action):
+        new_v = 0.9 * state[:, 1] + 0.1 * jnp.clip(action[:, 0], -1.0, 1.0)
+        return jnp.stack([state[:, 0] + 0.1 * new_v, new_v], axis=1)
+
+    def cost(state, action, info):
+        return (state[:, 0] - 2.0) ** 2 + 0.1 * state[:, 1] ** 2
+
+    config = _config(num_samples=256, u_min=(-1.0,), u_max=(1.0,), sigmas=(0.7,))
+    mesh = make_mesh(mesh_shape=(2, 4))
+    batched = make_batched_solver(
+        config, dynamics, cost, mesh, batch_size=B, jit=False,
+        donate_state=False,
+    )
+
+    def info_fn(carry, xs):
+        # per_ep: [B] tick counters (episode axis) — must freeze;
+        # shared: [3] global counter leaf (no episode axis) — must not
+        return {}, {
+            "per_ep": carry["per_ep"] + 1.0,
+            "shared": carry["shared"] + 1.0,
+        }
+
+    carry0 = {"per_ep": jnp.zeros(B), "shared": jnp.zeros(3)}
+    done_fn = lambda xs: xs[:, 0] > 1.1  # noqa: E731
+    x0s = jnp.asarray([[0.9, 1.0], [-5.0, 0.0]], jnp.float32)
+
+    fleet = make_fleet_closed_loop(
+        batched, dynamics, ticks, info_fn=info_fn, done_fn=done_fn
+    )
+    _, _, _, _, carry, ep = fleet(batched.init_batch(seed=5), x0s, carry0)
+
+    t0 = int(np.asarray(ep["ticks"])[0])
+    assert bool(np.asarray(ep["done"])[0]) and t0 < ticks
+    # per-episode leaf froze at the terminated episode's tick count but
+    # kept counting for the running episode
+    np.testing.assert_allclose(
+        np.asarray(carry["per_ep"]), [float(t0), float(ticks)]
+    )
+    # shared leaf (leading dim 3 != B) advanced every tick regardless
+    np.testing.assert_allclose(np.asarray(carry["shared"]), float(ticks))
