@@ -1,0 +1,32 @@
+"""The driver-facing bench entry prints one parseable JSON line.
+
+``bench.py`` is the artifact the round driver records (BENCH_r*.json);
+a malformed or missing line loses the round's perf evidence, so the
+schema is pinned here on the CPU path with shrunk shapes (the real
+numbers come from TPU runs).
+"""
+
+import json
+
+import bench
+
+
+def test_bench_main_prints_one_json_line(capsys, monkeypatch):
+    monkeypatch.setattr(bench, "NUM_SAMPLES", 512)
+    monkeypatch.setattr(bench, "HORIZON", 10)
+    monkeypatch.setattr(bench, "WARMUP", 1)
+
+    bench.main()
+
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one output line, got {lines}"
+    d = json.loads(lines[0])
+    assert d["metric"] == "racing_mppi_solves_per_s_h10_k512"
+    assert d["unit"] == "solves/s"
+    assert d["value"] > 0
+    assert d["vs_baseline"] > 0
+    extra = d["extra"]
+    assert extra["rollouts_per_s"] > 0
+    assert extra["solve_ms"] > 0
+    assert len(extra["windows"]) >= 1
+    assert "backend" in extra and "device" in extra
