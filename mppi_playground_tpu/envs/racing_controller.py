@@ -149,8 +149,8 @@ class RacingController:
         return result.action_seq, result.state_seq
 
     def run_episode(
-        self, state: jnp.ndarray, num_ticks: int
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        self, state: jnp.ndarray, num_ticks: int, done_fn=None
+    ) -> Tuple[jnp.ndarray, ...]:
         """``num_ticks`` control ticks in ONE dispatched program.
 
         The single-dispatch simulation mode (``core.closed_loop``): the
@@ -160,9 +160,15 @@ class RacingController:
         Updates the controller's warm start and path index like
         ``num_ticks`` calls to :meth:`update`.  Returns ``(xs
         [num_ticks, 4] visited states, us [num_ticks, 2] applied
-        actions)``.
+        actions)``.  ``done_fn (x [4]) -> bool`` is the on-device
+        analogue of the reference loop's goal break
+        (racing.py:233,262-264); when given, the episode freezes after
+        it fires and a third element ``episode`` (dict of ``done``,
+        ``ticks``) is returned.  Pass a STABLE callable — runners are
+        cached per ``(num_ticks, done_fn)`` identity.
         """
-        run = self._episode_runners.get(num_ticks)
+        key = (num_ticks, id(done_fn))
+        run = self._episode_runners.get(key)
         if run is None:
             from mppi_playground_tpu.core.closed_loop import make_closed_loop
 
@@ -177,20 +183,24 @@ class RacingController:
                 lambda x, u: env.dynamics(x[None], u[None])[0],
                 num_ticks,
                 info_fn=info_fn,
+                done_fn=done_fn,
             )
-            self._episode_runners[num_ticks] = run
+            self._episode_runners[key] = run
 
-        st, _xf, xs, us, cind = run(
+        out = run(
             self.solver_state,
             jnp.asarray(state, self.config.dtype),
             self.current_path_index,
         )
+        st, _xf, xs, us, cind = out[:5]
         self.solver_state = st
         self.current_path_index = cind
         # per-solve diagnostics/reference are stale after a scanned episode
         self.reference_path = None
         self._last_aux = None
         self._last_noise = None
+        if done_fn is not None:
+            return xs, us, out[5]
         return xs, us
 
     def get_top_samples(

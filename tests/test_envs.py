@@ -283,3 +283,33 @@ def test_racing_run_episode_invalidates_diagnostics(racing_env):
     assert ctrl.reference_path is None
     with _pytest.raises(RuntimeError, match="prior update"):
         ctrl.get_top_samples(5)
+
+
+def test_racing_run_episode_done_fn(racing_env):
+    """done_fn on the racing episode runner: the reference loop's goal
+    break (racing.py:233,262-264) — episode freezes once fired and the
+    runner reports done + executed ticks."""
+    import jax.numpy as jnp
+
+    from mppi_playground_tpu.envs.racing_controller import RacingController
+
+    ctrl = RacingController(racing_env, horizon=6, num_samples=64,
+                            solver_backend="xla", store_rollouts=False)
+    x0 = racing_env.reset()
+
+    # trivially-true predicate: fires on the very first post-step state
+    done_fn = lambda x: jnp.asarray(True)  # noqa: E731
+    xs, us, ep = ctrl.run_episode(x0, 4, done_fn=done_fn)
+    assert bool(ep["done"]) and int(ep["ticks"]) == 1
+    np.testing.assert_array_equal(np.asarray(us[1:]), 0.0)
+
+    # never-true predicate: runs the full budget, no third differences
+    ctrl2 = RacingController(racing_env, horizon=6, num_samples=64,
+                             solver_backend="xla", store_rollouts=False)
+    never = lambda x: jnp.asarray(False)  # noqa: E731
+    xs2, us2, ep2 = ctrl2.run_episode(x0, 3, done_fn=never)
+    assert not bool(ep2["done"]) and int(ep2["ticks"]) == 3
+    ctrl3 = RacingController(racing_env, horizon=6, num_samples=64,
+                             solver_backend="xla", store_rollouts=False)
+    xs3, us3 = ctrl3.run_episode(x0, 3)
+    np.testing.assert_allclose(np.asarray(us2), np.asarray(us3), atol=1e-6)
