@@ -19,6 +19,8 @@ import sys
 # allow running directly from a source checkout without installing
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax.numpy as jnp
+
 from mppi_playground_tpu.envs import RacingController, RacingEnv
 
 
@@ -28,6 +30,7 @@ def main(
     render: bool = True,
     debug: bool = False,
     fused: bool = False,
+    episode: bool = False,
 ):
     env = RacingEnv()
     # --fused: one Pallas kernel per tick; rollouts stay implicit and the
@@ -39,6 +42,28 @@ def main(
     )
 
     state = env.reset()
+
+    if episode:
+        # --episode: the whole loop in ONE dispatched program, terminating
+        # on the same goal test the host loop uses (no rendering — states
+        # never visit the host until the episode ends)
+        goal, thr = env.racing_center_path[-1, :2], env.GOAL_THRESHOLD
+
+        def done_fn(x):
+            return jnp.linalg.norm(x[:2] - goal) < thr
+
+        start = time.time()
+        xs, us, ep = controller.run_episode(state, max_steps, done_fn=done_fn)
+        elapsed = time.time() - start
+        ticks = int(ep["ticks"])
+        if bool(ep["done"]):
+            print("Goal Reached!")
+        print(
+            f"episode: {ticks} ticks in {elapsed:.2f} s "
+            f"({elapsed / max_steps * 1000:.2f} ms/tick incl. compile)"
+        )
+        env.close()
+        return
     solve_times = []
     for i in range(max_steps):
         start = time.time()
@@ -77,6 +102,7 @@ if __name__ == "__main__":
     parser.add_argument("--no-render", action="store_true")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--episode", action="store_true")
     args = parser.parse_args()
     main(
         save_mode=args.save_mode,
@@ -84,4 +110,5 @@ if __name__ == "__main__":
         render=not args.no_render,
         debug=args.debug,
         fused=args.fused,
+        episode=args.episode,
     )

@@ -52,6 +52,15 @@ def test_racing_example_runs(capsys, tmp_path, monkeypatch):
     assert "average solve time" in capsys.readouterr().out
 
 
+@pytest.mark.slow
+def test_racing_example_episode_mode(capsys):
+    """--episode: the single-dispatch loop with the on-device goal test."""
+    from examples import racing as ex
+
+    ex.main(save_mode=False, max_steps=2, render=False, episode=True)
+    assert "episode: " in capsys.readouterr().out
+
+
 def test_danger_zone_example_runs(capsys):
     from examples import goal_in_danger_zone as ex
 
