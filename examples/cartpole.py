@@ -22,9 +22,10 @@ from mppi_playground_tpu import MPPI
 from mppi_playground_tpu.models import cartpole
 
 
-def main(save_mode: bool = False, steps: int = 500, use_gym: bool = True):
+def main(save_mode: bool = False, steps: int = 500, use_gym: bool = True,
+         episode: bool = False):
     env = None
-    if use_gym:
+    if use_gym and not episode:
         try:
             import gymnasium
 
@@ -52,6 +53,22 @@ def main(save_mode: bool = False, steps: int = 500, use_gym: bool = True):
         sigmas=jnp.asarray([1.0]),
         lambda_=0.001,
     )
+
+    if episode:
+        # --episode: all ticks in ONE dispatched program on the internal
+        # bang-bang dynamics (gymnasium cannot live inside jit)
+        def plant_fn(x, u):
+            return cartpole.dynamics(x[None], u[None])[0]
+
+        start = time.time()
+        xs, _us = solver.run_episode(
+            plant_fn, jnp.asarray(observation, jnp.float32), steps
+        )
+        elapsed = time.time() - start
+        print(f"episode: {steps} ticks in {elapsed:.2f} s "
+              f"({elapsed / steps * 1000:.2f} ms/tick incl. compile)")
+        print(f"final pole angle: {float(xs[-1, 2]):.4f}")
+        return
 
     average_time = 0.0
     for i in range(steps):
@@ -85,5 +102,7 @@ if __name__ == "__main__":
     parser.add_argument("--save-mode", action="store_true")
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--no-gym", action="store_true")
+    parser.add_argument("--episode", action="store_true")
     args = parser.parse_args()
-    main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym)
+    main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym,
+         episode=args.episode)

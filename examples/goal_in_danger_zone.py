@@ -22,7 +22,8 @@ from mppi_playground_tpu import MPPI
 from mppi_playground_tpu.envs import GoalInDangerZoneEnv
 
 
-def main(save_mode: bool = False, render: bool = True, max_steps: int = None):
+def main(save_mode: bool = False, render: bool = True, max_steps: int = None,
+         episode: bool = False):
     seed = 42
     random.seed(seed)
     np.random.seed(seed)
@@ -47,6 +48,39 @@ def main(save_mode: bool = False, render: bool = True, max_steps: int = None):
     episodic_reward = 0.0
     episodic_cost = 0.0
     steps = env.max_episode_steps if max_steps is None else max_steps
+
+    if episode:
+        # --episode: all ticks in ONE dispatched program over the batched
+        # model dynamics; the CMDP bookkeeping is recovered vectorized from
+        # the visited states (the per-step progress reward telescopes to
+        # dist(start) - dist(final), goal_in_danger_zone.py:152-157)
+        import time
+
+        start_t = time.time()
+        xs, _us = solver.run_episode(
+            lambda x, u: env.parallel_step(x[None], u[None])[0],
+            jnp.asarray(obs, jnp.float32),
+            steps,
+        )
+        elapsed = time.time() - start_t
+        xs = np.asarray(xs)
+        goal = obs[:2] + obs[3:5]
+        zone = env.danger_zone
+        episodic_reward = float(
+            np.linalg.norm(obs[:2] - goal)
+            - np.linalg.norm(xs[-1, :2] - goal)
+        )
+        # collisions over the post-step states x_1..x_T, like the host loop
+        episodic_cost = float(
+            (np.linalg.norm(xs[1:, :2] - zone.center, axis=1) < zone.radius).sum()
+        )
+        print(f"episode: {steps} ticks in {elapsed:.2f} s "
+              f"({elapsed / steps * 1000:.2f} ms/tick incl. compile)")
+        print("episodic reward: ", episodic_reward)
+        print("episodic cost: ", episodic_cost)
+        env.close()
+        return
+
     for i in range(steps):
         action_seq, predicted_traj = solver.forward(
             state=jnp.asarray(obs, jnp.float32)
@@ -80,6 +114,7 @@ if __name__ == "__main__":
     parser.add_argument("--save-mode", action="store_true")
     parser.add_argument("--no-render", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--episode", action="store_true")
     args = parser.parse_args()
     main(save_mode=args.save_mode, render=not args.no_render,
-         max_steps=args.max_steps)
+         max_steps=args.max_steps, episode=args.episode)

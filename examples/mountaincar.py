@@ -21,9 +21,10 @@ from mppi_playground_tpu import MPPI
 from mppi_playground_tpu.models import mountain_car
 
 
-def main(save_mode: bool = False, steps: int = 300, use_gym: bool = True):
+def main(save_mode: bool = False, steps: int = 300, use_gym: bool = True,
+         episode: bool = False):
     env = None
-    if use_gym:
+    if use_gym and not episode:
         try:
             import gymnasium
 
@@ -53,6 +54,28 @@ def main(save_mode: bool = False, steps: int = 300, use_gym: bool = True):
     )
 
     state = np.array([-0.5, 0.0]) if env is None else env.unwrapped.state.copy()
+
+    if episode:
+        # --episode: all ticks in ONE dispatched program on the internal
+        # simulator, terminating on the on-device hilltop test
+        def plant_fn(x, u):
+            return mountain_car.dynamics(x[None], u[None])[0]
+
+        def done_fn(x):
+            return x[0] >= 0.45
+
+        start = time.time()
+        xs, _us, ep = solver.run_episode(
+            plant_fn, jnp.asarray(state, jnp.float32), steps, done_fn=done_fn
+        )
+        elapsed = time.time() - start
+        if bool(ep["done"]):
+            print("Goal Reached!")
+        print(f"episode: {int(ep['ticks'])} ticks in {elapsed:.2f} s "
+              f"({elapsed / steps * 1000:.2f} ms/tick incl. compile)")
+        print(f"final position: {float(xs[-1, 0]):.3f} (goal 0.45)")
+        return
+
     average_time = 0.0
     for i in range(steps):
         start = time.time()
@@ -83,5 +106,7 @@ if __name__ == "__main__":
     parser.add_argument("--save-mode", action="store_true")
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--no-gym", action="store_true")
+    parser.add_argument("--episode", action="store_true")
     args = parser.parse_args()
-    main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym)
+    main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym,
+         episode=args.episode)

@@ -26,6 +26,7 @@ def main(
     max_steps: int = 500,
     render: bool = True,
     fused: bool = False,
+    episode: bool = False,
 ):
     env = Navigation2DEnv()
 
@@ -47,6 +48,32 @@ def main(
     )
 
     state = env.reset()
+
+    if episode:
+        # --episode: the whole loop in ONE dispatched program, terminating
+        # on the same goal test env.step uses (no rendering — states never
+        # visit the host until the episode ends)
+        goal, thr = env._goal_pos, env.GOAL_THRESHOLD
+
+        def done_fn(x):
+            return jnp.linalg.norm(x[:2] - goal) < thr
+
+        def plant_fn(x, u):
+            return env.dynamics(x[None], u[None])[0]
+
+        start = time.time()
+        xs, us, ep = solver.run_episode(
+            plant_fn, state, max_steps, done_fn=done_fn
+        )
+        elapsed = time.time() - start
+        if bool(ep["done"]):
+            print("Goal Reached!")
+        print(
+            f"episode: {int(ep['ticks'])} ticks in {elapsed:.2f} s "
+            f"({elapsed / max_steps * 1000:.2f} ms/tick incl. compile)"
+        )
+        env.close()
+        return
     total_time = 0.0
     step_count = 0
     for i in range(max_steps):
@@ -80,10 +107,12 @@ if __name__ == "__main__":
     parser.add_argument("--max-steps", type=int, default=500)
     parser.add_argument("--no-render", action="store_true")
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--episode", action="store_true")
     args = parser.parse_args()
     main(
         save_mode=args.save_mode,
         max_steps=args.max_steps,
         render=not args.no_render,
         fused=args.fused,
+        episode=args.episode,
     )

@@ -25,9 +25,9 @@ from mppi_playground_tpu.utils.angles import angle_normalize
 
 
 def main(save_mode: bool = False, steps: int = 200, use_gym: bool = True,
-         fused: bool = False):
+         fused: bool = False, episode: bool = False):
     env = None
-    if use_gym:
+    if use_gym and not episode:
         try:
             import gymnasium
 
@@ -58,6 +58,23 @@ def main(save_mode: bool = False, steps: int = 200, use_gym: bool = True,
     )
 
     state = np.array([np.pi, 0.0]) if env is None else env.unwrapped.state.copy()
+
+    if episode:
+        # --episode: all ticks in ONE dispatched program on the internal
+        # simulator (gymnasium cannot live inside jit)
+        def plant_fn(x, u):
+            return pendulum.dynamics(x[None], u[None])[0]
+
+        start = time.time()
+        xs, _us = solver.run_episode(
+            plant_fn, jnp.asarray(state, jnp.float32), steps
+        )
+        elapsed = time.time() - start
+        print(f"episode: {steps} ticks in {elapsed:.2f} s "
+              f"({elapsed / steps * 1000:.2f} ms/tick incl. compile)")
+        print(f"final theta: {float(angle_normalize(xs[-1, 0])):.4f}")
+        return
+
     average_time = 0.0
     for i in range(steps):
         start = time.time()
@@ -88,6 +105,7 @@ if __name__ == "__main__":
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--no-gym", action="store_true")
     parser.add_argument("--fused", action="store_true")
+    parser.add_argument("--episode", action="store_true")
     args = parser.parse_args()
     main(save_mode=args.save_mode, steps=args.steps, use_gym=not args.no_gym,
-         fused=args.fused)
+         fused=args.fused, episode=args.episode)

@@ -193,7 +193,9 @@ class MPPI:
         recompiles the episode program every time.  Updates the warm start like
         ``num_ticks`` calls to :meth:`forward` (per-solve diagnostics are
         unavailable afterwards — rollouts never reach the host).  Returns
-        ``(xs [num_ticks, n], us [num_ticks, m])``, plus the final carry
+        ``(xs [num_ticks+1, n], us [num_ticks, m])`` — ``xs[t]`` is the
+        state ``us[t]`` was solved at and ``xs[-1]`` the final post-step
+        state — plus the final carry
         when ``info_fn`` is given, plus an ``episode`` dict (``done``
         bool, ``ticks`` int32) when ``done_fn (x) -> bool`` is given —
         the on-device analogue of the reference loops' ``break`` on
@@ -213,11 +215,11 @@ class MPPI:
             )
             self._episode_runners[key] = run
         out = run(self._state, jnp.asarray(state, self.config.dtype), carry)
-        st, _xf, xs, us, final_carry = out[:5]
+        st, xf, xs, us, final_carry = out[:5]
         self._state = st
         self._last_aux = None
         self._last_noise = None
-        ret = (xs, us)
+        ret = (jnp.concatenate([xs, xf[None]]), us)
         if info_fn is not None:
             ret = ret + (final_carry,)
         if done_fn is not None:

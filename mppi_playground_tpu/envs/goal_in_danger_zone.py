@@ -110,6 +110,11 @@ class GoalInDangerZoneEnv(_GYM_BASE):
         self._step = 0
 
     # ------------------------------------------------------------------
+    @property
+    def danger_zone(self) -> DangerZone:
+        """The env's danger region (center/radius/is_inside)."""
+        return self._danger_zone
+
     def parallel_cost(self, obs, action, info) -> jnp.ndarray:
         """Batched CMDP cost (goal_in_danger_zone.py:138-156)."""
         return self._parallel_cost(obs, action, info)

@@ -159,7 +159,9 @@ class RacingController:
         (~1.4 ms/tick amortized at flagship scale vs ~1.7 host-driven).
         Updates the controller's warm start and path index like
         ``num_ticks`` calls to :meth:`update`.  Returns ``(xs
-        [num_ticks, 4] visited states, us [num_ticks, 2] applied
+        [num_ticks+1, 4] visited states — ``xs[t]`` is the state
+        ``us[t]`` was solved at, ``xs[-1]`` the final post-step state —
+        us [num_ticks, 2] applied
         actions)``.  ``done_fn (x [4]) -> bool`` is the on-device
         analogue of the reference loop's goal break
         (racing.py:233,262-264); when given, the episode freezes after
@@ -192,13 +194,14 @@ class RacingController:
             jnp.asarray(state, self.config.dtype),
             self.current_path_index,
         )
-        st, _xf, xs, us, cind = out[:5]
+        st, xf, xs, us, cind = out[:5]
         self.solver_state = st
         self.current_path_index = cind
         # per-solve diagnostics/reference are stale after a scanned episode
         self.reference_path = None
         self._last_aux = None
         self._last_noise = None
+        xs = jnp.concatenate([xs, xf[None]])
         if done_fn is not None:
             return xs, us, out[5]
         return xs, us

@@ -259,6 +259,8 @@ def test_racing_run_episode_matches_per_tick_updates(racing_env):
         )
         x = env.dynamics(x[None], act[None, 0])[0]
 
+    # xs[-1] is the true final post-step state
+    np.testing.assert_allclose(np.asarray(xs_ep[-1]), np.asarray(x), atol=1e-5)
     assert int(a.current_path_index) == int(b.current_path_index)
     np.testing.assert_allclose(
         np.asarray(a.solver_state.previous_action_seq),
@@ -302,6 +304,10 @@ def test_racing_run_episode_done_fn(racing_env):
     xs, us, ep = ctrl.run_episode(x0, 4, done_fn=done_fn)
     assert bool(ep["done"]) and int(ep["ticks"]) == 1
     np.testing.assert_array_equal(np.asarray(us[1:]), 0.0)
+    # frozen after done: every later row (incl. the final state) is the
+    # post-step state the predicate fired on
+    for row in np.asarray(xs[2:]):
+        np.testing.assert_allclose(row, np.asarray(xs[1]), atol=0)
 
     # never-true predicate: runs the full budget, no third differences
     ctrl2 = RacingController(racing_env, horizon=6, num_samples=64,

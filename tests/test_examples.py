@@ -18,6 +18,17 @@ def test_pendulum_example_runs(capsys):
     assert "average solve time" in out
 
 
+def test_pendulum_example_episode_mode(capsys):
+    """--episode: the single-dispatch loop on the internal simulator."""
+    sys.modules.pop("examples.pendulum", None)
+    from examples import pendulum as ex
+
+    ex.main(save_mode=False, steps=3, episode=True)
+    out = capsys.readouterr().out
+    assert "episode: " in out
+    assert "final theta" in out
+
+
 def test_cartpole_example_runs(capsys):
     from examples import cartpole as ex
 
@@ -25,11 +36,29 @@ def test_cartpole_example_runs(capsys):
     assert "average solve time" in capsys.readouterr().out
 
 
+def test_cartpole_example_episode_mode(capsys):
+    """--episode: the single-dispatch loop on the bang-bang dynamics."""
+    from examples import cartpole as ex
+
+    ex.main(save_mode=False, steps=3, episode=True)
+    out = capsys.readouterr().out
+    assert "episode: " in out and "final pole angle" in out
+
+
 def test_mountaincar_example_runs(capsys):
     from examples import mountaincar as ex
 
     ex.main(save_mode=False, steps=3, use_gym=False)
     assert "average solve time" in capsys.readouterr().out
+
+
+def test_mountaincar_example_episode_mode(capsys):
+    """--episode: single-dispatch loop with the on-device hilltop test."""
+    from examples import mountaincar as ex
+
+    ex.main(save_mode=False, steps=3, episode=True)
+    out = capsys.readouterr().out
+    assert "episode: " in out and "final position" in out
 
 
 @pytest.mark.slow
@@ -41,6 +70,15 @@ def test_navigation_example_runs(capsys, tmp_path, monkeypatch):
     assert "average solve time" in capsys.readouterr().out
     # gif written from the captured frames
     assert (tmp_path / "video" / "navigation_2d_42.gif").exists()
+
+
+@pytest.mark.slow
+def test_navigation_example_episode_mode(capsys):
+    """--episode: the single-dispatch loop with the on-device goal test."""
+    from examples import navigation2d as ex
+
+    ex.main(save_mode=False, max_steps=2, render=False, episode=True)
+    assert "episode: " in capsys.readouterr().out
 
 
 @pytest.mark.slow
@@ -66,6 +104,16 @@ def test_danger_zone_example_runs(capsys):
 
     ex.main(save_mode=False, render=False)
     out = capsys.readouterr().out
+    assert "episodic reward" in out and "episodic cost" in out
+
+
+def test_danger_zone_example_episode_mode(capsys):
+    """--episode: single-dispatch CMDP episode with vectorized bookkeeping."""
+    from examples import goal_in_danger_zone as ex
+
+    ex.main(save_mode=False, render=False, max_steps=3, episode=True)
+    out = capsys.readouterr().out
+    assert "episode: " in out
     assert "episodic reward" in out and "episodic cost" in out
 
 

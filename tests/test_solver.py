@@ -259,6 +259,8 @@ def test_mppi_run_episode_matches_forward_loop():
         np.testing.assert_allclose(np.asarray(us[t]), np.asarray(act[0]), atol=1e-5)
         x = plant(x, act[0])
 
+    # xs[-1] is the true final post-step state
+    np.testing.assert_allclose(np.asarray(xs[-1]), np.asarray(x), atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(a.solver_state.previous_action_seq),
         np.asarray(b.solver_state.previous_action_seq),
@@ -295,4 +297,4 @@ def test_mppi_run_episode_threads_info_fn_carry():
         carry=jnp.asarray(10, jnp.int32),
     )
     assert int(carry) == 14  # seeded at 10, incremented once per tick
-    assert xs.shape == (4, 2)
+    assert xs.shape == (5, 2)  # num_ticks visited states + the final state
