@@ -57,6 +57,10 @@ def main(save_mode: bool = False, steps: int = 500, use_gym: bool = True,
     if episode:
         # --episode: all ticks in ONE dispatched program on the internal
         # bang-bang dynamics (gymnasium cannot live inside jit)
+        if save_mode:
+            print("episode mode: gymnasium rendering/video export "
+                  "unavailable (states stay on device)")
+
         def plant_fn(x, u):
             return cartpole.dynamics(x[None], u[None])[0]
 

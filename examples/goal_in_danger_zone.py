@@ -54,6 +54,9 @@ def main(save_mode: bool = False, render: bool = True, max_steps: int = None,
         # model dynamics; the CMDP bookkeeping is recovered vectorized from
         # the visited states (the per-step progress reward telescopes to
         # dist(start) - dist(final), goal_in_danger_zone.py:152-157)
+        if render_mode is not None:
+            print("episode mode: rendering/gif export unavailable "
+                  "(states stay on device)")
         import time
 
         start_t = time.time()

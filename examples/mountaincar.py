@@ -58,6 +58,10 @@ def main(save_mode: bool = False, steps: int = 300, use_gym: bool = True,
     if episode:
         # --episode: all ticks in ONE dispatched program on the internal
         # simulator, terminating on the on-device hilltop test
+        if save_mode:
+            print("episode mode: gymnasium rendering/video export "
+                  "unavailable (states stay on device)")
+
         def plant_fn(x, u):
             return mountain_car.dynamics(x[None], u[None])[0]
 
@@ -71,8 +75,11 @@ def main(save_mode: bool = False, steps: int = 300, use_gym: bool = True,
         elapsed = time.time() - start
         if bool(ep["done"]):
             print("Goal Reached!")
-        print(f"episode: {int(ep['ticks'])} ticks in {elapsed:.2f} s "
-              f"({elapsed / steps * 1000:.2f} ms/tick incl. compile)")
+        # the scan always executes the full budget (done episodes freeze),
+        # so per-tick time divides by steps, not the executed ticks
+        print(f"episode: {int(ep['ticks'])} ticks (budget {steps}) in "
+              f"{elapsed:.2f} s ({elapsed / steps * 1000:.2f} ms per "
+              f"budget tick incl. compile)")
         print(f"final position: {float(xs[-1, 0]):.3f} (goal 0.45)")
         return
 

@@ -51,9 +51,12 @@ def main(
 
     if episode:
         # --episode: the whole loop in ONE dispatched program, terminating
-        # on the same goal test env.step uses (no rendering — states never
-        # visit the host until the episode ends)
-        goal, thr = env._goal_pos, env.GOAL_THRESHOLD
+        # on the same goal test env.step uses (states never visit the host
+        # until the episode ends)
+        if render or save_mode:
+            print("episode mode: rendering/gif export unavailable "
+                  "(states stay on device)")
+        goal, thr = env.goal_pos, env.GOAL_THRESHOLD
 
         def done_fn(x):
             return jnp.linalg.norm(x[:2] - goal) < thr
@@ -68,9 +71,12 @@ def main(
         elapsed = time.time() - start
         if bool(ep["done"]):
             print("Goal Reached!")
+        # the scan always executes the full budget (done episodes freeze),
+        # so per-tick time divides by max_steps, not the executed ticks
         print(
-            f"episode: {int(ep['ticks'])} ticks in {elapsed:.2f} s "
-            f"({elapsed / max_steps * 1000:.2f} ms/tick incl. compile)"
+            f"episode: {int(ep['ticks'])} ticks (budget {max_steps}) in "
+            f"{elapsed:.2f} s ({elapsed / max_steps * 1000:.2f} ms per "
+            f"budget tick incl. compile)"
         )
         env.close()
         return

@@ -45,8 +45,11 @@ def main(
 
     if episode:
         # --episode: the whole loop in ONE dispatched program, terminating
-        # on the same goal test the host loop uses (no rendering — states
-        # never visit the host until the episode ends)
+        # on the same goal test the host loop uses (states never visit the
+        # host until the episode ends)
+        if render or save_mode:
+            print("episode mode: rendering/gif export unavailable "
+                  "(states stay on device)")
         goal, thr = env.racing_center_path[-1, :2], env.GOAL_THRESHOLD
 
         def done_fn(x):
@@ -58,9 +61,12 @@ def main(
         ticks = int(ep["ticks"])
         if bool(ep["done"]):
             print("Goal Reached!")
+        # the scan always executes the full budget (done episodes freeze),
+        # so per-tick time divides by max_steps, not the executed ticks
         print(
-            f"episode: {ticks} ticks in {elapsed:.2f} s "
-            f"({elapsed / max_steps * 1000:.2f} ms/tick incl. compile)"
+            f"episode: {ticks} ticks (budget {max_steps}) in {elapsed:.2f} s "
+            f"({elapsed / max_steps * 1000:.2f} ms per budget tick incl. "
+            f"compile)"
         )
         env.close()
         return

@@ -79,6 +79,11 @@ class Navigation2DEnv:
         return jnp.concatenate([self._start_pos, heading[None]])
 
     @property
+    def goal_pos(self) -> jnp.ndarray:
+        """Goal position [2] (navigation_2d.py:53-58)."""
+        return self._goal_pos
+
+    @property
     def obstacle_map(self) -> ObstacleMap:
         return self._obstacle_map
 

@@ -159,10 +159,9 @@ class RacingController:
         (~1.4 ms/tick amortized at flagship scale vs ~1.7 host-driven).
         Updates the controller's warm start and path index like
         ``num_ticks`` calls to :meth:`update`.  Returns ``(xs
-        [num_ticks+1, 4] visited states — ``xs[t]`` is the state
-        ``us[t]`` was solved at, ``xs[-1]`` the final post-step state —
-        us [num_ticks, 2] applied
-        actions)``.  ``done_fn (x [4]) -> bool`` is the on-device
+        [num_ticks+1, 4], us [num_ticks, 2])`` — ``xs[t]`` is the state
+        ``us[t]`` was solved at and ``xs[-1]`` the final post-step
+        state.  ``done_fn (x [4]) -> bool`` is the on-device
         analogue of the reference loop's goal break
         (racing.py:233,262-264); when given, the episode freezes after
         it fires and a third element ``episode`` (dict of ``done``,
