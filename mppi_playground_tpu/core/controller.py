@@ -100,13 +100,23 @@ class MPPI:
             )
 
             if fused_supported() and fused_envelope(self.config):
-                self._solver = make_fused_solver(self.config, fused_task, dynamics)
+                def _build_solver(jit: bool = True):
+                    return make_fused_solver(
+                        self.config, fused_task, dynamics, jit=jit
+                    )
             else:
                 # same fallback on TPU and CPU: out-of-envelope configs use
                 # the (numerically equivalent) XLA path
-                self._solver = make_solver(self.config, dynamics, cost_func)
+                def _build_solver(jit: bool = True):
+                    return make_solver(self.config, dynamics, cost_func, jit=jit)
         else:
-            self._solver = make_solver(self.config, dynamics, cost_func)
+            def _build_solver(jit: bool = True):
+                return make_solver(self.config, dynamics, cost_func, jit=jit)
+        self._build_solver = _build_solver
+        self._solver = _build_solver()
+        # lazily-built unjitted twin for run_episode (the episode loop is
+        # the jit unit there — closed_loop.py's solver contract)
+        self._episode_solver = None
         self._state = self._solver.init()
         self._last_aux: Optional[SolveAux] = None
         self._last_noise: Optional[jnp.ndarray] = None
@@ -209,8 +219,10 @@ class MPPI:
 
             if len(self._episode_runners) >= 8:  # bound compile cache
                 self._episode_runners.pop(next(iter(self._episode_runners)))
+            if self._episode_solver is None:
+                self._episode_solver = self._build_solver(jit=False)
             run = make_closed_loop(
-                self._solver, plant_fn, num_ticks, info_fn=info_fn,
+                self._episode_solver, plant_fn, num_ticks, info_fn=info_fn,
                 done_fn=done_fn,
             )
             self._episode_runners[key] = run

@@ -54,8 +54,9 @@ class RacingController:
         Args:
             solver_backend: ``'fused'`` (single Pallas kernel per tick,
                 ops/fused_solve.py), ``'xla'`` (scan pipeline), or
-                ``'auto'`` — fused on TPU when the config allows it (fixed
-                lambda, no rollout storage).
+                ``'auto'`` — fused on TPU when the config fits the kernel
+                envelope (``fused_envelope``: f32, T*m and n within vreg
+                lanes, no rollout storage; any lambda mode qualifies).
         """
         self.env = env
         self.config = MPPIConfig(
@@ -173,6 +174,8 @@ class RacingController:
         if run is None:
             from mppi_playground_tpu.core.closed_loop import make_closed_loop
 
+            if len(self._episode_runners) >= 8:  # bound compile cache
+                self._episode_runners.pop(next(iter(self._episode_runners)))
             env = self.env
 
             def info_fn(cind, x):

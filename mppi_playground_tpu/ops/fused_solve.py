@@ -127,14 +127,12 @@ def _normal_pair(shape):
 
 def fused_envelope(config) -> bool:
     """Whether a config fits the fused kernel (single source of truth)."""
-    import jax.numpy as _jnp
-
     return (
         config.horizon * config.dim_control <= LANES
         # make_fused_reroll packs the state into vreg lanes (build-time
         # assert); the gate must cover it so wide states fall back to XLA
         and config.dim_state <= LANES
-        and config.dtype == _jnp.float32
+        and config.dtype == jnp.float32
         and not config.store_rollouts
     )
 
