@@ -90,13 +90,13 @@ def build():
     return env, solver, tick
 
 
-def measure_host_driven(env, solver, tick, windows, iters):
+def measure_host_driven(env, solver, tick, windows, iters, warmup=WARMUP):
     """Median-of-windows solves/s of the per-tick dispatch mode."""
     x = env.reset()
     state = solver.init()
     cind = jnp.asarray(0, jnp.int32)
 
-    for _ in range(WARMUP):  # compile + steady state
+    for _ in range(warmup):  # compile + steady state
         action_seq, state, cind = tick(state, cind, x)
     jax.block_until_ready(action_seq)
 
@@ -148,8 +148,13 @@ def main() -> None:
     # per tick off-accelerator); the recorded numbers come from TPU runs.
     windows = WINDOWS if on_tpu else 1
     iters = ITERS if on_tpu else 3
+    # off-accelerator this is a sanity number, not a timing: one warmup
+    # tick triggers compilation, no need for the steady-state ramp
+    warmup = WARMUP if on_tpu else 1
 
-    solves_per_s, rates = measure_host_driven(env, solver, tick, windows, iters)
+    solves_per_s, rates = measure_host_driven(
+        env, solver, tick, windows, iters, warmup=warmup
+    )
 
     extra = {
         "rollouts_per_s": round(solves_per_s * NUM_SAMPLES),
@@ -159,20 +164,18 @@ def main() -> None:
         "backend": jax.default_backend(),
     }
     if on_tpu:
-        # guarded like the fleet phase below: the headline host-driven
-        # number must survive a failure in the optional episode mode
+        # both optional phases are individually guarded: the headline
+        # host-driven number must survive a failure in either
         try:
             amortized = measure_amortized(env, solver)
             extra["amortized_solves_per_s"] = round(amortized, 1)
             extra["amortized_solve_ms"] = round(1000.0 / amortized, 3)
         except Exception as exc:  # noqa: BLE001 — headline must survive
             extra["amortized_note"] = f"episode bench failed: {type(exc).__name__}"
-    if on_tpu:
         # fleet-episode serving mode at the reference racing workload
-        # (benchmarks/fleet.py; guarded — never risks the headline number).
-        # Works here because the tunnel backend admits a second client
-        # process; on exclusive-access libtpu setups this records the
-        # failure note instead.
+        # (benchmarks/fleet.py). Works here because the tunnel backend
+        # admits a second client process; on exclusive-access libtpu
+        # setups this records the failure note instead.
         try:
             import subprocess
 

@@ -34,11 +34,14 @@ def main(n: int = 4096):
     # TPUs default f32 matmuls to bfloat16 passes; the numerics check
     # needs true f32 (the timing reflects the same HIGHEST-precision path)
     f = jax.jit(lambda x, y: jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST))
-    got = f(jnp.asarray(a), jnp.asarray(b))
+    # transfer once outside the timed loop — otherwise the window measures
+    # ~128 MB of H2D copies per iteration, not the matmul
+    da, db = jnp.asarray(a), jnp.asarray(b)
+    got = f(da, db)
     jax.block_until_ready(got)
     t0 = time.perf_counter()
     for _ in range(5):
-        got = f(jnp.asarray(a), jnp.asarray(b))
+        got = f(da, db)
     jax.block_until_ready(got)
     dev_s = (time.perf_counter() - t0) / 5
 

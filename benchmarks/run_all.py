@@ -78,7 +78,7 @@ def main():
     bench_simple("pendulum", 15, 1000, 2, 1, pendulum.dynamics, pendulum.cost,
                  (-2.0,), (2.0,), (1.0,), "ESSPS")
     bench_simple("cartpole", 10, 100, 4, 1, cartpole.dynamics, cartpole.cost,
-                 (-1.0,), (1.0,), (1.0,), 0.001)
+                 cartpole.U_MIN, cartpole.U_MAX, (1.0,), 0.001)
     bench_simple("mountaincar", 100, 1000, 2, 1, mountain_car.dynamics,
                  mountain_car.cost, (-1.0,), (1.0,), (1.0,), 0.1)
 

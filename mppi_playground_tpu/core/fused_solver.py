@@ -62,7 +62,9 @@ def make_fused_solver(
     """Build the fused-kernel solver.
 
     Args:
-        config: solver config (fixed ``lambda_`` required).
+        config: solver config; fixed lambda and all three auto modes are
+            supported (MPO weights with the current lambda then adapts it,
+            LBPS/ESSPS run the two-phase costs-then-weights kernel split).
         task: the model's structure-of-arrays plug for the kernel.
         dynamics: array-of-structs dynamics, used only for the nominal
             trajectory re-roll (mppi.py:508-524) outside the kernel.
