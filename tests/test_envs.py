@@ -307,7 +307,7 @@ def test_racing_run_episode_done_fn(racing_env):
     # frozen after done: every later row (incl. the final state) is the
     # post-step state the predicate fired on
     for row in np.asarray(xs[2:]):
-        np.testing.assert_allclose(row, np.asarray(xs[1]), atol=0)
+        np.testing.assert_array_equal(row, np.asarray(xs[1]))
 
     # never-true predicate: runs the full budget, no third differences
     ctrl2 = RacingController(racing_env, horizon=6, num_samples=64,

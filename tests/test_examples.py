@@ -1,7 +1,5 @@
 """Headless smoke tests of the example scripts (tiny step counts)."""
 
-import sys
-
 import matplotlib
 
 matplotlib.use("Agg")
@@ -10,7 +8,6 @@ import pytest
 
 
 def test_pendulum_example_runs(capsys):
-    sys.modules.pop("examples.pendulum", None)
     from examples import pendulum as ex
 
     ex.main(save_mode=False, steps=3, use_gym=False)
@@ -20,7 +17,6 @@ def test_pendulum_example_runs(capsys):
 
 def test_pendulum_example_episode_mode(capsys):
     """--episode: the single-dispatch loop on the internal simulator."""
-    sys.modules.pop("examples.pendulum", None)
     from examples import pendulum as ex
 
     ex.main(save_mode=False, steps=3, episode=True)
@@ -102,7 +98,7 @@ def test_racing_example_episode_mode(capsys):
 def test_danger_zone_example_runs(capsys):
     from examples import goal_in_danger_zone as ex
 
-    ex.main(save_mode=False, render=False)
+    ex.main(save_mode=False, render=False, max_steps=3)
     out = capsys.readouterr().out
     assert "episodic reward" in out and "episodic cost" in out
 
