@@ -239,7 +239,6 @@ def make_fused_solve(
     u_max = tuple(float(v) for v in config.u_max)
 
     vmem_leaves, vmem_treedef = jax.tree_util.tree_flatten(task.vmem_args)
-    smem_template = None  # resolved on first call; key order must be stable
 
     def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
                noise_mode: bool, smem_keys: Tuple[str, ...],

@@ -23,15 +23,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile over the sample axis. 1024 f32 rows x (T*m <= 4096) cols stays well
-# under the ~16 MB/core VMEM budget together with the scratch accumulators.
+# Tile over the sample axis.
 _K_TILE = 1024
+
+# The (K_TILE, d) f32 samples block is double-buffered across the
+# sequential grid, so VMEM holds ~2 * K_TILE * d * 4 bytes of it plus the
+# out/stats/costs tiles; d <= 1536 keeps that at ~12.6 MB, inside the
+# ~16 MB/core budget with headroom (an 18.7 MB allocation was measured to
+# OOM on v5e — ops/fused_solve.py).  Larger d falls back to XLA.
+_MAX_D = 1536
 
 
 def supports_weighted_update(costs: jnp.ndarray, samples: jnp.ndarray) -> bool:
     """Shape gate for the fused kernel (fallback to XLA otherwise)."""
     d = samples.shape[1] * samples.shape[2]
-    return d <= 4096 and costs.dtype == jnp.float32
+    return d <= _MAX_D and costs.dtype == jnp.float32
 
 
 def _weighted_update_kernel(

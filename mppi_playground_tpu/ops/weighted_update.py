@@ -44,10 +44,11 @@ def _xla_weighted_update(
 
 
 def _pallas_available() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover - backend probing should not fail
-        return False
+    # single backend gate for the whole package (kept as a module-local
+    # name so tests can monkeypatch the dispatcher in isolation)
+    from mppi_playground_tpu.ops.fused_solve import fused_supported
+
+    return fused_supported()
 
 
 def weighted_update(

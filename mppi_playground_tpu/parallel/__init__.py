@@ -3,6 +3,8 @@ from mppi_playground_tpu.parallel.mesh import (
     SCENARIO_AXIS,
     initialize_distributed,
     make_mesh,
+    replicated,
+    sample_sharding,
 )
 from mppi_playground_tpu.parallel.sharded import (
     BatchedFusedSolver,
@@ -28,4 +30,6 @@ __all__ = [
     "make_mesh",
     "make_sharded_fused_solver",
     "make_sharded_solver",
+    "replicated",
+    "sample_sharding",
 ]

@@ -55,10 +55,12 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except Exception:
-        # Tolerate only a redundant call on an already-multi-process
-        # runtime; never fall back silently to isolated single hosts.
-        if jax.process_count() > 1:
+    except RuntimeError as exc:
+        # Tolerate only the documented redundant-call error; anything else
+        # (unreachable coordinator, topology mismatch) must propagate —
+        # probing jax.process_count() here would itself initialize the
+        # backend and could mask a failed bootstrap as a healthy pod.
+        if "only be called once" in str(exc):
             return
         raise
 

@@ -38,7 +38,11 @@ from mppi_playground_tpu.core.solver import (
     SolveResult,
     make_solver,
 )
-from mppi_playground_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS
+from mppi_playground_tpu.parallel.mesh import (
+    SAMPLE_AXIS,
+    SCENARIO_AXIS,
+    sample_sharding,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,10 +69,18 @@ def make_sharded_solver(
     The returned ``solve(state, x0, info=None)`` matches the single-device
     signature; results are replicated.
     """
-    base = make_solver(config, dynamics, cost_fn, jit=False)
+    # the GSPMD program needs partitionable ops end-to-end: the Pallas
+    # weighted-update kernel has no partitioning rule, so 'auto' resolving
+    # to it on TPU would force XLA to replicate the full [K, T, m] operand
+    # on every device — pin the sharded base to the XLA reduction path,
+    # which partitions into the documented O(T*m) psum collectives
+    base = make_solver(
+        dataclasses.replace(config, kernel_backend="xla"),
+        dynamics, cost_fn, jit=False,
+    )
     dtype = config.dtype
     sigmas = jnp.asarray(config.sigmas, dtype)
-    noise_sharding = NamedSharding(mesh, P(sample_axis, None, None))
+    noise_sharding = sample_sharding(mesh, 3, axis=sample_axis)
 
     def solve(
         state: MPPIState,
@@ -134,7 +146,12 @@ def make_batched_solver(
     the K samples shard over the sample axis.  ``solve_batch(states, x0s)``
     takes a batched :class:`MPPIState` pytree and ``[B, dim_state]``.
     """
-    base = make_solver(config, dynamics, cost_fn, jit=False)
+    # same kernel_backend pin as make_sharded_solver, doubly so here:
+    # vmap-of-pallas_call does not compose (see BatchedFusedSolver below)
+    base = make_solver(
+        dataclasses.replace(config, kernel_backend="xla"),
+        dynamics, cost_fn, jit=False,
+    )
     dtype = config.dtype
     sigmas = jnp.asarray(config.sigmas, dtype)
     noise_sharding = NamedSharding(
@@ -215,6 +232,7 @@ def make_sharded_fused_solver(
     mesh: Mesh,
     sample_axis: str = SAMPLE_AXIS,
     jit: bool = True,
+    donate_state: bool = True,
     interpret: Optional[bool] = None,
 ) -> ShardedFusedSolver:
     """Shard the fused Pallas solve over ``mesh``'s sample axis.
@@ -337,7 +355,7 @@ def make_sharded_fused_solver(
     # the facade supplies init / SG filter / prediction / warm-start
     # semantics around the shard_map'd kernel core
     facade = make_fused_solver(
-        config, task, dynamics, jit=jit, donate_state=True,
+        config, task, dynamics, jit=jit, donate_state=donate_state,
         interpret=interpret, solve_core=sharded_core,
     )
 
