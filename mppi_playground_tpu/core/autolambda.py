@@ -25,7 +25,7 @@ Numerical-equivalence tests against the scipy versions live in
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ need the action on the host every tick keep using ``solver.solve``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,27 +25,69 @@ from jax import lax
 from mppi_playground_tpu.core.config import MPPIState
 
 
-def _freeze(done, old_tree, new_tree):
+def _freeze(done, old_tree, new_tree, spec=None):
     """Select ``old_tree`` where ``done`` (broadcast from the left).
 
-    Leaves that do not carry the episode axis (``done``'s shape is not
-    their leading shape) cannot be frozen per-episode and pass through
-    as ``new`` — e.g. a fleet ``info_fn`` carry shared by all episodes.
-
-    The test is purely structural: in a fleet, a *shared* carry leaf
-    whose leading dimension happens to equal the batch size B is
-    indistinguishable from a per-episode leaf and gets frozen row-wise
-    (see the ``done_fn`` docstring in :func:`make_fleet_closed_loop`).
+    Without ``spec``, the per-episode test is purely structural: leaves
+    whose leading shape is ``done``'s shape freeze row-wise, everything
+    else (e.g. a fleet ``info_fn`` carry shared by all episodes) passes
+    through as ``new``.  A *shared* carry leaf whose leading dimension
+    happens to equal the batch size B is indistinguishable from a
+    per-episode leaf under that heuristic — pass ``spec``, a pytree of
+    bools matching ``new_tree``'s structure (True = per-episode, freeze
+    row-wise; False = shared, pass through), to say so explicitly
+    (see ``carry_freeze`` on :func:`make_fleet_closed_loop`).
     """
 
-    def pick(o, n):
-        if n.ndim < done.ndim or n.shape[: done.ndim] != done.shape:
-            return n
+    def row_freeze(o, n):
         return jnp.where(
             done.reshape(done.shape + (1,) * (n.ndim - done.ndim)), o, n
         )
 
+    if spec is not None:
+        def pick_spec(s, o, n):
+            if not s:
+                return n
+            if n.ndim < done.ndim or n.shape[: done.ndim] != done.shape:
+                raise ValueError(
+                    f"carry_freeze marks a leaf of shape {n.shape} as "
+                    f"per-episode, but its leading shape is not "
+                    f"{done.shape}"
+                )
+            return row_freeze(o, n)
+
+        return jax.tree.map(pick_spec, spec, old_tree, new_tree)
+
+    def pick(o, n):
+        if n.ndim < done.ndim or n.shape[: done.ndim] != done.shape:
+            return n
+        return row_freeze(o, n)
+
     return jax.tree.map(pick, old_tree, new_tree)
+
+
+class RunnerCache:
+    """Bounded LRU cache of compiled episode runners.
+
+    Keys embed ``id()``s of user callables; each cached runner closes
+    over those callables, which keeps them alive, so a live entry's ids
+    cannot be recycled into stale hits.  A hit refreshes recency; at
+    capacity the least-recently-used entry is evicted (each runner owns
+    a whole-episode XLA executable, so unbounded growth is a leak).
+    """
+
+    def __init__(self, capacity: int = 8):
+        self._entries: dict = {}
+        self._capacity = capacity
+
+    def get_or_build(self, key, build):
+        run = self._entries.pop(key, None)
+        if run is None:
+            if len(self._entries) >= self._capacity:
+                self._entries.pop(next(iter(self._entries)))
+            run = build()
+        self._entries[key] = run  # (re-)insertion at the end = most recent
+        return run
 
 
 def make_closed_loop(
@@ -141,6 +183,7 @@ def make_fleet_closed_loop(
     num_ticks: int,
     info_fn: Optional[Callable[[Any, jnp.ndarray], Any]] = None,
     done_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    carry_freeze: Any = None,
     jit: bool = True,
 ):
     """Fleet of independent episodes in ONE dispatched program.
@@ -164,12 +207,16 @@ def make_fleet_closed_loop(
             (solver state, plant state, per-episode ``info_fn`` carry
             leaves whose leading axis is ``B``); the fleet keeps running
             until the tick budget — per-episode early exit cannot shrink
-            an SPMD program.  Caveat: "per-episode" is detected purely
-            by shape — a *shared* carry leaf whose leading dimension
-            coincidentally equals ``B`` (e.g. a B-waypoint path common
-            to all episodes) would be frozen row-wise; give shared
-            leaves a different leading dimension (or an extra leading
-            axis of 1).  See :func:`make_closed_loop`.
+            an SPMD program.  Caveat: without ``carry_freeze``,
+            "per-episode" is detected purely by shape — a *shared* carry
+            leaf whose leading dimension coincidentally equals ``B``
+            (e.g. a B-waypoint path common to all episodes) would be
+            frozen row-wise.  See :func:`make_closed_loop`.
+        carry_freeze: optional pytree of bools matching the ``info_fn``
+            carry's structure, replacing the shape heuristic above:
+            ``True`` leaves freeze row-wise when their episode is done
+            (their leading shape must be ``[B]``), ``False`` leaves are
+            shared and always pass through.
 
     Returns ``run(states, x0s, carry=None) -> (states, xs_final,
     xs [num_ticks, B, n], us [num_ticks, B, m], final_carry[, episode])``
@@ -201,7 +248,7 @@ def make_fleet_closed_loop(
             xs_next = jnp.where(done[:, None], xs, plant_fn(xs, us))
             sts_next = _freeze(done, sts, result.state)
             if info_fn is not None:
-                c_next = _freeze(done, c, c_next)
+                c_next = _freeze(done, c, c_next, spec=carry_freeze)
             ticks = ticks + jnp.where(done, 0, 1).astype(jnp.int32)
             done = done | done_fn(xs_next)
             return (sts_next, xs_next, c_next, done, ticks), (xs, us)

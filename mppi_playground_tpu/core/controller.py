@@ -15,15 +15,21 @@ and ergonomic migration.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from mppi_playground_tpu.core import diagnostics
+from mppi_playground_tpu.core.closed_loop import RunnerCache, make_closed_loop
 from mppi_playground_tpu.core.config import MPPIConfig
-from mppi_playground_tpu.core.solver import Dynamics, CostFn, SolveAux, make_solver
+from mppi_playground_tpu.core.solver import (
+    CostFn,
+    Dynamics,
+    SolveAux,
+    make_solver,
+    warm_reset,
+)
 
 
 class MPPI:
@@ -101,17 +107,27 @@ class MPPI:
 
             if fused_supported() and fused_envelope(self.config):
                 def _build_solver(jit: bool = True):
+                    # no donation: the facade promises solver_state can be
+                    # stashed/checkpointed freely (the pytree is tiny, so
+                    # donating buys nothing)
                     return make_fused_solver(
-                        self.config, fused_task, dynamics, jit=jit
+                        self.config, fused_task, dynamics, jit=jit,
+                        donate_state=False,
                     )
             else:
                 # same fallback on TPU and CPU: out-of-envelope configs use
                 # the (numerically equivalent) XLA path
                 def _build_solver(jit: bool = True):
-                    return make_solver(self.config, dynamics, cost_func, jit=jit)
+                    return make_solver(
+                        self.config, dynamics, cost_func, jit=jit,
+                        donate_state=False,
+                    )
         else:
             def _build_solver(jit: bool = True):
-                return make_solver(self.config, dynamics, cost_func, jit=jit)
+                return make_solver(
+                    self.config, dynamics, cost_func, jit=jit,
+                    donate_state=False,
+                )
         self._build_solver = _build_solver
         self._solver = _build_solver()
         # lazily-built unjitted twin for run_episode (the episode loop is
@@ -121,7 +137,7 @@ class MPPI:
         self._last_aux: Optional[SolveAux] = None
         self._last_noise: Optional[jnp.ndarray] = None
         self._diag_key = jax.random.PRNGKey(seed + 1)
-        self._episode_runners: dict = {}
+        self._episode_runners = RunnerCache()
 
     # ------------------------------------------------------------------
     @property
@@ -140,13 +156,7 @@ class MPPI:
         history are cleared — the adapted lambda and MPO optimizer state
         persist across episodes.
         """
-        fresh = self._solver.init(key=self._state.key)
-        self._state = dataclasses.replace(
-            fresh,
-            lam=self._state.lam,
-            mpo_log_temperature=self._state.mpo_log_temperature,
-            mpo_opt_state=self._state.mpo_opt_state,
-        )
+        self._state = warm_reset(self._solver, self._state)
         # diagnostics refer to the previous episode; drop them so
         # get_top_samples after reset raises instead of replaying stale
         # trajectories
@@ -212,20 +222,16 @@ class MPPI:
         goal/collision (/root/reference/example/navigation2d.py:39-46);
         the episode freezes after ``done_fn`` fires.
         """
-        key = (id(plant_fn), num_ticks, id(info_fn), id(done_fn))
-        run = self._episode_runners.get(key)
-        if run is None:
-            from mppi_playground_tpu.core.closed_loop import make_closed_loop
-
-            if len(self._episode_runners) >= 8:  # bound compile cache
-                self._episode_runners.pop(next(iter(self._episode_runners)))
+        def build():
             if self._episode_solver is None:
                 self._episode_solver = self._build_solver(jit=False)
-            run = make_closed_loop(
+            return make_closed_loop(
                 self._episode_solver, plant_fn, num_ticks, info_fn=info_fn,
                 done_fn=done_fn,
             )
-            self._episode_runners[key] = run
+
+        key = (id(plant_fn), num_ticks, id(info_fn), id(done_fn))
+        run = self._episode_runners.get_or_build(key, build)
         out = run(self._state, jnp.asarray(state, self.config.dtype), carry)
         st, xf, xs, us, final_carry = out[:5]
         self._state = st

@@ -26,7 +26,6 @@ given the same noise (tests/test_fused_solve.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

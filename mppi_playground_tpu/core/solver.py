@@ -41,7 +41,6 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from mppi_playground_tpu.core import autolambda
@@ -95,6 +94,23 @@ class MPPISolver:
     # stored on the fused path).  The XLA path reads aux.state_seq_batch
     # via ``core.diagnostics.top_samples`` instead.
     top_samples: Optional[Callable] = None
+
+
+def warm_reset(solver: MPPISolver, state: MPPIState) -> MPPIState:
+    """Zero the warm start, keeping the adapted temperature (mppi.py:212-221).
+
+    Like the reference's ``reset``: only the previous action sequence and
+    SG history are re-initialized — the adapted lambda and the MPO
+    optimizer state persist across episodes.  Shared by the ``MPPI`` and
+    ``RacingController`` facades.
+    """
+    fresh = solver.init(key=state.key)
+    return dataclasses.replace(
+        fresh,
+        lam=state.lam,
+        mpo_log_temperature=state.mpo_log_temperature,
+        mpo_opt_state=state.mpo_opt_state,
+    )
 
 
 def _rollout_and_costs(

@@ -21,9 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from mppi_playground_tpu.core import diagnostics
+from mppi_playground_tpu.core.closed_loop import RunnerCache, make_closed_loop
 from mppi_playground_tpu.core.config import MPPIConfig
 from mppi_playground_tpu.core.fused_solver import make_fused_solver
-from mppi_playground_tpu.core.solver import make_solver
+from mppi_playground_tpu.core.solver import make_solver, warm_reset
 from mppi_playground_tpu.models.racing_mpcc import (
     calc_ref_trajectory,
     make_mpcc_cost,
@@ -110,8 +111,10 @@ class RacingController:
             return result, new_cind, xref
 
         self._calc_ref = calc_ref
-        self._tick = jax.jit(tick, donate_argnums=(0,))
-        self._episode_runners: dict = {}
+        # no donation: solver_state is a public stash-able attribute and
+        # the pytree is tiny
+        self._tick = jax.jit(tick)
+        self._episode_runners = RunnerCache()
 
         self.solver_state = self._solver.init()
         self.current_path_index = jnp.asarray(0, jnp.int32)
@@ -121,16 +124,8 @@ class RacingController:
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
-        import dataclasses
-
         # keep the adapted lambda / MPO state across episodes (mppi.py:212-221)
-        fresh = self._solver.init(key=self.solver_state.key)
-        self.solver_state = dataclasses.replace(
-            fresh,
-            lam=self.solver_state.lam,
-            mpo_log_temperature=self.solver_state.mpo_log_temperature,
-            mpo_opt_state=self.solver_state.mpo_opt_state,
-        )
+        self.solver_state = warm_reset(self._solver, self.solver_state)
         self.current_path_index = jnp.asarray(0, jnp.int32)
         self.reference_path = None
         self._last_aux = None
@@ -169,27 +164,23 @@ class RacingController:
         ``ticks``) is returned.  Pass a STABLE callable — runners are
         cached per ``(num_ticks, done_fn)`` identity.
         """
-        key = (num_ticks, id(done_fn))
-        run = self._episode_runners.get(key)
-        if run is None:
-            from mppi_playground_tpu.core.closed_loop import make_closed_loop
-
-            if len(self._episode_runners) >= 8:  # bound compile cache
-                self._episode_runners.pop(next(iter(self._episode_runners)))
+        def build():
             env = self.env
 
             def info_fn(cind, x):
                 xref, new_cind = self._calc_ref(x, cind)
                 return {"reference_path": xref}, new_cind
 
-            run = make_closed_loop(
+            return make_closed_loop(
                 self._solver,
                 lambda x, u: env.dynamics(x[None], u[None])[0],
                 num_ticks,
                 info_fn=info_fn,
                 done_fn=done_fn,
             )
-            self._episode_runners[key] = run
+
+        key = (num_ticks, id(done_fn))
+        run = self._episode_runners.get_or_build(key, build)
 
         out = run(
             self.solver_state,

@@ -297,3 +297,63 @@ def test_fleet_done_fn_carry_freeze_is_per_leading_axis():
     )
     # shared leaf (leading dim 3 != B) advanced every tick regardless
     np.testing.assert_allclose(np.asarray(carry["shared"]), float(ticks))
+
+
+def test_fleet_carry_freeze_spec_overrides_shape_heuristic():
+    """``carry_freeze`` resolves the B-shaped-but-shared ambiguity: a
+    shared leaf whose leading dim coincidentally equals B passes through
+    when marked False, and a malformed spec raises."""
+    import pytest
+
+    from mppi_playground_tpu.core.closed_loop import make_fleet_closed_loop
+
+    B, ticks = 2, 6
+
+    def dynamics(state, action):
+        new_v = 0.9 * state[:, 1] + 0.1 * jnp.clip(action[:, 0], -1.0, 1.0)
+        return jnp.stack([state[:, 0] + 0.1 * new_v, new_v], axis=1)
+
+    def cost(state, action, info):
+        return (state[:, 0] - 2.0) ** 2 + 0.1 * state[:, 1] ** 2
+
+    config = _config(num_samples=256, u_min=(-1.0,), u_max=(1.0,), sigmas=(0.7,))
+    mesh = make_mesh(mesh_shape=(2, 4))
+    batched = make_batched_solver(
+        config, dynamics, cost, mesh, batch_size=B, jit=False,
+        donate_state=False,
+    )
+
+    def info_fn(carry, xs):
+        # both leaves have leading dim B; only per_ep is per-episode
+        return {}, {
+            "per_ep": carry["per_ep"] + 1.0,
+            "shared_b": carry["shared_b"] + 1.0,
+        }
+
+    carry0 = {"per_ep": jnp.zeros(B), "shared_b": jnp.zeros(B)}
+    done_fn = lambda xs: xs[:, 0] > 1.1  # noqa: E731
+    x0s = jnp.asarray([[0.9, 1.0], [-5.0, 0.0]], jnp.float32)
+
+    fleet = make_fleet_closed_loop(
+        batched, dynamics, ticks, info_fn=info_fn, done_fn=done_fn,
+        carry_freeze={"per_ep": True, "shared_b": False},
+    )
+    _, _, _, _, carry, ep = fleet(batched.init_batch(seed=5), x0s, carry0)
+
+    t0 = int(np.asarray(ep["ticks"])[0])
+    assert bool(np.asarray(ep["done"])[0]) and t0 < ticks
+    np.testing.assert_allclose(
+        np.asarray(carry["per_ep"]), [float(t0), float(ticks)]
+    )
+    # the heuristic would have frozen row 0 at t0; the spec keeps the
+    # shared leaf advancing every tick for both rows
+    np.testing.assert_allclose(np.asarray(carry["shared_b"]), float(ticks))
+
+    # a spec marking a non-[B] leaf per-episode fails loudly, not silently
+    bad = make_fleet_closed_loop(
+        batched, dynamics, ticks,
+        info_fn=lambda c, xs: ({}, {"w": c["w"] + 1.0}),
+        done_fn=done_fn, carry_freeze={"w": True},
+    )
+    with pytest.raises(ValueError, match="carry_freeze"):
+        bad(batched.init_batch(seed=5), x0s, {"w": jnp.zeros(3)})

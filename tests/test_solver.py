@@ -298,3 +298,27 @@ def test_mppi_run_episode_threads_info_fn_carry():
     )
     assert int(carry) == 14  # seeded at 10, incremented once per tick
     assert xs.shape == (5, 2)  # num_ticks visited states + the final state
+
+
+def test_runner_cache_is_bounded_lru():
+    """RunnerCache: hits refresh recency; eviction drops the LRU entry."""
+    from mppi_playground_tpu.core.closed_loop import RunnerCache
+
+    built = []
+
+    def builder(k):
+        def build():
+            built.append(k)
+            return f"runner-{k}"
+        return build
+
+    cache = RunnerCache(capacity=2)
+    assert cache.get_or_build("a", builder("a")) == "runner-a"
+    assert cache.get_or_build("b", builder("b")) == "runner-b"
+    # hit on 'a' refreshes it, so inserting 'c' evicts 'b', not 'a'
+    assert cache.get_or_build("a", builder("a")) == "runner-a"
+    cache.get_or_build("c", builder("c"))
+    cache.get_or_build("a", builder("a"))
+    assert built == ["a", "b", "c"]  # 'a' never rebuilt
+    cache.get_or_build("b", builder("b"))
+    assert built == ["a", "b", "c", "b"]  # 'b' was the evicted one
