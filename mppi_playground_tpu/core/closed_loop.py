@@ -45,6 +45,18 @@ def _freeze(done, old_tree, new_tree, spec=None):
         )
 
     if spec is not None:
+        spec_def = jax.tree.structure(spec)
+        new_def = jax.tree.structure(new_tree)
+        if spec_def != new_def:
+            # Without this check a prefix spec (e.g. a bare bool for a
+            # dict carry) would reach pick_spec with a subtree as ``n``
+            # and die on ``n.ndim`` — an opaque AttributeError.
+            raise ValueError(
+                f"carry_freeze must be a pytree of bools with the same "
+                f"structure as the info_fn carry: got {spec_def}, "
+                f"carry is {new_def}"
+            )
+
         def pick_spec(s, o, n):
             if not s:
                 return n
@@ -77,15 +89,19 @@ class RunnerCache:
     """
 
     def __init__(self, capacity: int = 8):
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
         self._entries: dict = {}
         self._capacity = capacity
 
     def get_or_build(self, key, build):
         run = self._entries.pop(key, None)
         if run is None:
+            # build() before evicting: if it raises (bad user callable),
+            # the still-valid LRU entry must survive
+            run = build()
             if len(self._entries) >= self._capacity:
                 self._entries.pop(next(iter(self._entries)))
-            run = build()
         self._entries[key] = run  # (re-)insertion at the end = most recent
         return run
 
@@ -183,6 +199,7 @@ def make_fleet_closed_loop(
     num_ticks: int,
     info_fn: Optional[Callable[[Any, jnp.ndarray], Any]] = None,
     done_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    *,
     carry_freeze: Any = None,
     jit: bool = True,
 ):
@@ -223,6 +240,13 @@ def make_fleet_closed_loop(
     where ``episode`` (only with ``done_fn``) holds ``done [B]`` and
     ``ticks [B]`` int32 ticks executed per episode.
     """
+    if carry_freeze is not None and (done_fn is None or info_fn is None):
+        # the spec only ever applies to the info_fn carry of a done_fn
+        # loop — silently dropping it would hide a mis-wired call
+        raise ValueError(
+            "carry_freeze requires both info_fn (it describes the info_fn "
+            "carry) and done_fn (freezing only happens on termination)"
+        )
 
     def run(states: MPPIState, x0s: jnp.ndarray, carry: Any = None):
         batch = jnp.shape(x0s)[0]

@@ -357,3 +357,30 @@ def test_fleet_carry_freeze_spec_overrides_shape_heuristic():
     )
     with pytest.raises(ValueError, match="carry_freeze"):
         bad(batched.init_batch(seed=5), x0s, {"w": jnp.zeros(3)})
+
+    # a prefix spec (bool root for a dict carry) is a structure mismatch:
+    # clear ValueError at trace time, not an AttributeError inside tree.map
+    prefix = make_fleet_closed_loop(
+        batched, dynamics, ticks, info_fn=info_fn, done_fn=done_fn,
+        carry_freeze=True,
+    )
+    with pytest.raises(ValueError, match="carry_freeze"):
+        prefix(batched.init_batch(seed=5), x0s, carry0)
+
+    # a spec without the pieces it describes is a mis-wiring, not a no-op
+    with pytest.raises(ValueError, match="done_fn"):
+        make_fleet_closed_loop(
+            batched, dynamics, ticks, info_fn=info_fn,
+            carry_freeze={"per_ep": True, "shared_b": False},
+        )
+    with pytest.raises(ValueError, match="info_fn"):
+        make_fleet_closed_loop(
+            batched, dynamics, ticks, done_fn=done_fn, carry_freeze=True,
+        )
+
+    # the new trailing params are keyword-only: positional binding that
+    # used to reach ``jit`` cannot silently land on ``carry_freeze``
+    with pytest.raises(TypeError):
+        make_fleet_closed_loop(
+            batched, dynamics, ticks, info_fn, done_fn, False
+        )

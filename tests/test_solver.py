@@ -322,3 +322,25 @@ def test_runner_cache_is_bounded_lru():
     assert built == ["a", "b", "c"]  # 'a' never rebuilt
     cache.get_or_build("b", builder("b"))
     assert built == ["a", "b", "c", "b"]  # 'b' was the evicted one
+
+
+def test_runner_cache_failed_build_preserves_entries():
+    """A build() that raises must not evict a still-valid cached runner,
+    and a degenerate capacity is rejected up front."""
+    import pytest
+
+    from mppi_playground_tpu.core.closed_loop import RunnerCache
+
+    cache = RunnerCache(capacity=1)
+    assert cache.get_or_build("good", lambda: "runner-good") == "runner-good"
+
+    def bad_build():
+        raise RuntimeError("user callable exploded")
+
+    with pytest.raises(RuntimeError, match="exploded"):
+        cache.get_or_build("bad", bad_build)
+    # the valid entry survived the failed insert: no rebuild on rehit
+    assert cache.get_or_build("good", lambda: "REBUILT") == "runner-good"
+
+    with pytest.raises(ValueError, match="capacity"):
+        RunnerCache(capacity=0)
