@@ -127,9 +127,11 @@ def make_fused_solver(
                     smem_arrays, noise, dump_pert=True, costs_only=True,
                 )
             else:
-                costs, _, _ = solve_core.run_kernel(
+                # still costs_only: the softmin partials would be computed
+                # at the provisional lambda and discarded
+                costs, = solve_core.run_kernel(
                     x0, state.previous_action_seq, state.lam, seed,
-                    smem_arrays, noise,
+                    smem_arrays, noise, costs_only=True,
                 )
             if auto == "LBPS":
                 lam = autolambda.lbps_lambda(
@@ -190,6 +192,9 @@ def make_fused_solver(
             state_seq_batch=None,
             # replay handles for get_top_samples (seed regeneration)
             seed=seed, x0=x0, prev_action_seq=state.previous_action_seq,
+            # noise is None / not None is static per trace, so this scalar
+            # faithfully records which stream the solve actually used
+            noise_injected=jnp.asarray(noise is not None),
         )
         return SolveResult(optimal_action_seq, optimal_state_seq, new_state, aux)
 
@@ -220,6 +225,15 @@ def make_fused_solver(
         """(state_seqs [n, T+1, dim_state], weights [n]), weight-descending."""
         assert aux.seed is not None, "aux must come from a fused solve"
         assert n <= config.num_samples
+        if noise is None and aux.noise_injected is not None and bool(
+            jnp.any(aux.noise_injected)
+        ):
+            # replaying the PRNG seeds would regenerate a stream unrelated
+            # to the solve's injected noise — silently wrong trajectories
+            raise ValueError(
+                "this solve ran with injected noise; pass the same noise "
+                "array to top_samples (seed regeneration cannot replay it)"
+            )
         return _top_jit(
             aux.x0, aux.prev_action_seq, aux.seed, aux.weights, noise, int(n)
         )

@@ -71,6 +71,10 @@ class SolveAux(NamedTuple):
     seed: Optional[jnp.ndarray] = None
     x0: Optional[jnp.ndarray] = None
     prev_action_seq: Optional[jnp.ndarray] = None
+    # True when the fused solve ran on injected noise instead of its
+    # seeds — top_samples then requires the same noise to be passed back
+    # (the seeds regenerate an unrelated stream).
+    noise_injected: Optional[jnp.ndarray] = None
 
 
 class SolveResult(NamedTuple):

@@ -206,10 +206,12 @@ class GoalInDangerZoneEnv(_GYM_BASE):
             return frame
         return None
 
-    def close(self, path: str = None):
+    def close(self, path: Optional[str] = None):
         """Write accumulated rgb_array frames as a gif (like the other envs)
         and release the figure; frames are cleared either way."""
-        if self._frames and path is not None:
+        if self._frames:
+            if path is None:  # same default convention as the other envs
+                path = "video/goal_in_danger_zone.gif"
             rendering.save_gif(self._frames, path)
         self._frames = []
         if self._fig is not None:

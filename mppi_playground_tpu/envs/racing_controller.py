@@ -78,15 +78,6 @@ class RacingController:
             fused_ok = fused_supported() and fused_envelope(self.config)
             solver_backend = "fused" if fused_ok else "xla"
         self.solver_backend = solver_backend
-        # inner solver stays unjitted; the full tick below is the jit unit
-        if solver_backend == "fused":
-            task = make_racing_fused_task_from_env(env)
-            self._solver = make_fused_solver(
-                self.config, task, env.dynamics, jit=False
-            )
-        else:
-            cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
-            self._solver = make_solver(self.config, env.dynamics, cost_fn, jit=False)
         path = env.racing_center_path
         v_max = float(env.V_MAX)
         dl = float(env.dl)
@@ -103,18 +94,8 @@ class RacingController:
                 v_max=v_max,
             )
 
-        def tick(solver_state, cind, x, noise=None):
-            xref, new_cind = calc_ref(x, cind)
-            result = self._solver.solve(
-                solver_state, x, info={"reference_path": xref}, noise=noise
-            )
-            return result, new_cind, xref
-
         self._calc_ref = calc_ref
-        # no donation: solver_state is a public stash-able attribute and
-        # the pytree is tiny
-        self._tick = jax.jit(tick)
-        self._episode_runners = RunnerCache()
+        self._build_solver()
 
         self.solver_state = self._solver.init()
         self.current_path_index = jnp.asarray(0, jnp.int32)
@@ -123,6 +104,45 @@ class RacingController:
         self._last_noise = None
 
     # ------------------------------------------------------------------
+    def _build_solver(self) -> None:
+        """(Re)bake the env's maps into the jitted tick.
+
+        The map tables are jit constants, so unlike the reference — whose
+        eager controller reads the live map object every tick
+        (racing.py:146-152) — a mutated map needs a rebuild.  Called at
+        construction and again by :meth:`update`/:meth:`run_episode`
+        whenever ``env.obstacle_map.version`` has moved.
+        """
+        env = self.env
+        # inner solver stays unjitted; the full tick below is the jit unit
+        if self.solver_backend == "fused":
+            task = make_racing_fused_task_from_env(env)
+            self._solver = make_fused_solver(
+                self.config, task, env.dynamics, jit=False
+            )
+        else:
+            cost_fn = make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map)
+            self._solver = make_solver(self.config, env.dynamics, cost_fn, jit=False)
+        calc_ref = self._calc_ref
+
+        def tick(solver_state, cind, x, noise=None):
+            xref, new_cind = calc_ref(x, cind)
+            result = self._solver.solve(
+                solver_state, x, info={"reference_path": xref}, noise=noise
+            )
+            return result, new_cind, xref
+
+        # no donation: solver_state is a public stash-able attribute and
+        # the pytree is tiny
+        self._tick = jax.jit(tick)
+        # cached episode runners close over the previous solver
+        self._episode_runners = RunnerCache()
+        self._map_version = env.obstacle_map.version
+
+    def _refresh_if_maps_changed(self) -> None:
+        if self.env.obstacle_map.version != self._map_version:
+            self._build_solver()
+
     def reset(self) -> None:
         # keep the adapted lambda / MPO state across episodes (mppi.py:212-221)
         self.solver_state = warm_reset(self._solver, self.solver_state)
@@ -135,6 +155,7 @@ class RacingController:
         self, state: jnp.ndarray, noise: Optional[jnp.ndarray] = None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One control tick (racing.py:60-101) -> (action_seq, state_seq)."""
+        self._refresh_if_maps_changed()
         result, self.current_path_index, self.reference_path = self._tick(
             self.solver_state, self.current_path_index,
             jnp.asarray(state, self.config.dtype), noise,
@@ -164,6 +185,8 @@ class RacingController:
         ``ticks``) is returned.  Pass a STABLE callable — runners are
         cached per ``(num_ticks, done_fn)`` identity.
         """
+        self._refresh_if_maps_changed()
+
         def build():
             env = self.env
 

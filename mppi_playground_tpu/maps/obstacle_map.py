@@ -76,6 +76,7 @@ class ObstacleMap:
         self._device_map: Optional[GridMapData] = None
         self._feature_map: Optional[FeatureMapData] = None
         self._feature_map_built = False
+        self._version = 0
 
     # ------------------------------------------------------------------
     def add_circle_obstacle(self, center: np.ndarray, radius: float) -> None:
@@ -95,6 +96,7 @@ class ObstacleMap:
         self._device_map = None
         self._feature_map_built = False
         self._row_interval_table = None
+        self._version += 1
 
     def add_rectangle_obstacle(
         self, center: np.ndarray, width: float, height: float
@@ -117,8 +119,20 @@ class ObstacleMap:
         self._device_map = None
         self._feature_map_built = False
         self._row_interval_table = None
+        self._version += 1
 
     # ------------------------------------------------------------------
+    @property
+    def version(self) -> int:
+        """Mutation counter, bumped by every ``add_*_obstacle`` call.
+
+        Compiled consumers that bake the map's tables in as jit constants
+        (e.g. ``RacingController``) compare this to detect a mutated map
+        and rebuild, matching the reference controllers' live-map reads
+        (racing.py:146-152) despite the XLA compilation model.
+        """
+        return self._version
+
     @property
     def device_map(self) -> GridMapData:
         """Upload-once device grid (the reference's convert_to_torch)."""

@@ -222,8 +222,14 @@ def calc_ref_trajectory(
     ncourse = path.shape[0]
 
     # Nearest path index (racing.py:193-199) as an on-device argmin.
-    d2 = (path[:, 0] - state[0]) ** 2 + (path[:, 1] - state[1]) ** 2
-    nearest = jnp.argmin(d2).astype(jnp.int32)
+    # The reference first-mins f32 np.hypot distances; argmin over sqrt
+    # (not raw squared distance, whose rounding can order near-equidistant
+    # samples differently) keeps the tie-breaking aligned, and jnp.argmin
+    # picks the first minimum like list.index(min(...)).
+    d = jnp.sqrt(
+        (path[:, 0] - state[0]) ** 2 + (path[:, 1] - state[1]) ** 2
+    )
+    nearest = jnp.argmin(d).astype(jnp.int32)
     ind = jnp.maximum(jnp.asarray(cind, jnp.int32), nearest)
 
     # Lookahead offsets are static — replicate the reference's host-side

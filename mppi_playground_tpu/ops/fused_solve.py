@@ -240,6 +240,19 @@ def make_fused_solve(
 
     vmem_leaves, vmem_treedef = jax.tree_util.tree_flatten(task.vmem_args)
 
+    def _check_prng_available(noise_mode: bool) -> None:
+        # pltpu.prng_random_bits has no interpreter implementation: in
+        # interpret mode (the default on every non-TPU backend) the seeded
+        # path dies deep inside Mosaic — fail at trace time with an
+        # actionable message instead.
+        if interpret and not noise_mode:
+            raise NotImplementedError(
+                "the fused kernel's seeded in-register PRNG "
+                "(pltpu.prng_random_bits) does not run in interpret mode; "
+                "off-TPU pass noise= explicitly or use the XLA solver "
+                "(core.solver.make_solver)"
+            )
+
     def kernel(x0_ref, prev_ref, lam_ref, seed_ref, offset_ref, *refs,
                noise_mode: bool, smem_keys: Tuple[str, ...],
                weighted_only: bool = False, regen_dump_only: bool = False,
@@ -256,8 +269,9 @@ def make_fused_solve(
         # ``regen_dump_only`` is the diagnostics mode (get_top_samples
         # on the fused path): regenerate the perturbed action sequences
         # from the same seeds and write them out, skipping rollout and
-        # softmin.  ``dump_pert`` instead AUGMENTS the full solve with the
-        # same dump output (phase 1 of the read-back auto-lambda path).
+        # softmin.  ``dump_pert`` adds the same dump output to a
+        # ``costs_only`` solve (phase 1 of the read-back auto-lambda
+        # path; it always pairs with ``costs_only`` — see run_kernel).
         if weighted_only or regen_dump_only:
             vmem_refs = ()
             smem_refs = {}
@@ -282,9 +296,10 @@ def make_fused_solve(
             costs_ref = refs[idx]
             if dump_pert:
                 pert_out_ref = refs[idx + 1]
-        elif dump_pert:
-            costs_ref, stats_ref, numer_ref, pert_out_ref = refs[idx : idx + 4]
         else:
+            # dump_pert implies costs_only (asserted in run_kernel): the
+            # only dump consumer is auto-lambda phase 1, which discards
+            # the provisional-lambda partials anyway
             costs_ref, stats_ref, numer_ref = refs[idx : idx + 3]
 
         # Global tile id: offset_ref carries this shard's first tile under
@@ -454,8 +469,13 @@ def make_fused_solve(
         are dropped and their per-tile reductions skipped; the return is
         then ``(costs,)`` or ``(costs, pert)``.
         """
+        # the only dump consumer is auto-lambda phase 1 (costs_only);
+        # the full-solve+dump combination has no caller and stays out of
+        # the kernel's positional ref-unpacking protocol
+        assert not dump_pert or costs_only, "dump_pert requires costs_only"
         smem_keys = tuple(sorted(smem_arrays.keys()))
         noise_mode = noise is not None
+        _check_prng_available(noise_mode)
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 [n]
@@ -539,8 +559,6 @@ def make_fused_solve(
         if costs_only:
             return (costs, outs[1]) if dump_pert else (costs,)
         stats, numer = outs[1], outs[2]
-        if dump_pert:
-            return costs, stats[:, 0, :], numer[:, 0, :], outs[3]
         return costs, stats[:, 0, :], numer[:, 0, :]
 
     def run_weighted(
@@ -564,6 +582,7 @@ def make_fused_solve(
         assert noise is None or pert is None, "pass noise or pert, not both"
         pert_in = pert is not None
         noise_mode = noise is not None or pert_in
+        _check_prng_available(noise_mode)
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 placeholder [1]
@@ -642,6 +661,7 @@ def make_fused_solve(
         HBM write pass of K*T*m floats, off the hot path.
         """
         noise_mode = noise is not None
+        _check_prng_available(noise_mode)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # x0 placeholder [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # prev [T, m]

@@ -287,9 +287,8 @@ def make_sharded_fused_solver(
             )
 
         if costs_only:
+            # dump_pert implies costs_only (asserted in core.run_kernel)
             out_specs = (shard, pert_spec) if dump_pert else (shard,)
-        elif dump_pert:
-            out_specs = (shard, shard, shard, pert_spec)
         else:
             out_specs = (shard, shard, shard)
         return jax.shard_map(

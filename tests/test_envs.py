@@ -319,3 +319,64 @@ def test_racing_run_episode_done_fn(racing_env):
                              solver_backend="xla", store_rollouts=False)
     xs3, us3 = ctrl3.run_episode(x0, 3)
     np.testing.assert_allclose(np.asarray(us2), np.asarray(us3), atol=1e-6)
+
+
+def test_racing_controller_rebuilds_on_map_mutation():
+    """Mutating the env's obstacle map must reach the compiled tick.
+
+    The reference controller reads the live map object every tick
+    (racing.py:146-152); our tick bakes the map tables in as jit
+    constants, so the controller watches ``obstacle_map.version`` and
+    rebuilds.  Same solver state + same injected noise, only the map
+    changed: the costs must reflect the new obstacle."""
+    from mppi_playground_tpu.envs.racing_controller import RacingController
+
+    env = RacingEnv()  # fresh env: this test mutates its map
+    ctrl = RacingController(
+        env, horizon=6, num_samples=128, solver_backend="xla",
+        store_rollouts=False,
+    )
+    x0 = env.reset()
+    st0 = ctrl.solver_state
+    noise = (
+        jnp.asarray(
+            np.random.default_rng(3).normal(size=(128, 6, 2)), jnp.float32
+        ) * jnp.asarray([0.5, 0.1])
+    )
+    ctrl.update(x0, noise=noise)
+    c1 = np.asarray(ctrl._last_aux.costs)
+    solver_before = ctrl._solver
+
+    v0 = env.obstacle_map.version
+    env.obstacle_map.add_circle_obstacle(np.asarray(x0[:2], float), 1.0)
+    assert env.obstacle_map.version == v0 + 1
+
+    # identical solver state / noise / start: only the map differs
+    ctrl.solver_state = st0
+    ctrl.current_path_index = jnp.asarray(0, jnp.int32)
+    ctrl.update(x0, noise=noise)
+    c2 = np.asarray(ctrl._last_aux.costs)
+
+    assert ctrl._solver is not solver_before  # rebuilt, not stale
+    # every rollout starts inside the new obstacle -> Qo penalty on all
+    assert (c2 > c1 + 1e3).all()
+
+
+def test_danger_zone_close_defaults_gif_path(monkeypatch, tmp_path):
+    """close() without a path must save accumulated frames to the default
+    location like the other envs, not silently drop them."""
+    import mppi_playground_tpu.envs.rendering as rendering
+
+    saved = {}
+
+    def fake_save_gif(frames, path, **kw):
+        saved["path"] = path
+        saved["n"] = len(frames)
+
+    monkeypatch.setattr(rendering, "save_gif", fake_save_gif)
+    env = GoalInDangerZoneEnv(render_mode="rgb_array", seed=7)
+    env.reset(seed=7)
+    env.render()
+    env.close()
+    assert saved["n"] == 1
+    assert saved["path"].endswith(".gif")

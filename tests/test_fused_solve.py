@@ -290,6 +290,90 @@ def test_fused_top_samples_two_phase_auto_lambda():
     np.testing.assert_allclose(np.asarray(seqs_f), np.asarray(seqs_x), atol=5e-4)
 
 
+def test_fused_top_samples_requires_matching_noise(solvers):
+    """A noise-injected solve records that fact in aux; top_samples
+    without the noise must raise instead of silently regenerating a
+    seed stream unrelated to the solve's perturbations."""
+    cfg, fused, xla = solvers
+    x0 = jnp.asarray([0.0, 0.0], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(5), (K, HORIZON, 1), jnp.float32) * 0.7
+    )
+    rf = fused.solve(fused.init(), x0, info=_info(), noise=noise)
+    with pytest.raises(ValueError, match="injected noise"):
+        fused.top_samples(rf.aux, 5)
+    seqs, w = fused.top_samples(rf.aux, 5, noise=noise)  # correct usage
+    assert seqs.shape == (5, HORIZON + 1, 2)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="on a native backend the seeded path runs for real",
+)
+def test_fused_seeded_path_rejected_in_interpret_mode(solvers):
+    """Off-TPU the seeded in-kernel PRNG cannot run (no interpreter
+    implementation); solving without noise= must fail at trace time with
+    an actionable message, not deep inside Mosaic."""
+    cfg, fused, xla = solvers
+    with pytest.raises(NotImplementedError, match="interpret mode"):
+        fused.solve(fused.init(), jnp.zeros(2, jnp.float32), info=_info())
+
+
+def test_run_kernel_dump_requires_costs_only():
+    """The full-solve+dump kernel mode has no consumer and is rejected."""
+    from mppi_playground_tpu.ops.fused_solve import make_fused_solve
+
+    cfg = _config()
+    core = make_fused_solve(cfg, _toy_task())
+    noise = jnp.zeros((K, HORIZON, 1), jnp.float32)
+    with pytest.raises(AssertionError, match="costs_only"):
+        core.run_kernel(
+            jnp.zeros(2, jnp.float32),
+            jnp.zeros((HORIZON, 1), jnp.float32),
+            jnp.asarray(0.5), jnp.asarray(0, jnp.int32),
+            {"target": jnp.ones((HORIZON, 1), jnp.float32)},
+            noise, dump_pert=True,
+        )
+
+
+def test_fused_auto_lambda_fallback_core_matches_dump_path():
+    """A solve_core without pert-dump support takes the phase-2 re-read
+    fallback (phase 1 costs_only, phase 2 from noise); results must be
+    bit-identical to the dump path given the same injected noise."""
+    from mppi_playground_tpu.ops.fused_solve import make_fused_solve
+
+    cfg = _config(lambda_="ESSPS")
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    core = make_fused_solve(cfg, task)
+
+    def nodump(*args, **kwargs):
+        return core(*args, **kwargs)
+
+    nodump.run_kernel = core.run_kernel
+    nodump.run_weighted = core.run_weighted
+    nodump.run_regen = core.run_regen
+    nodump.combine_partials = core.combine_partials
+    # no supports_pert_dump attribute -> the facade's fallback branch
+
+    fused_dump = make_fused_solver(cfg, task, dyn, jit=False, donate_state=False)
+    fused_fb = make_fused_solver(
+        cfg, task, dyn, jit=False, donate_state=False, solve_core=nodump
+    )
+    x0 = jnp.asarray([0.1, -0.2], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(29), (K, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rd = fused_dump.solve(fused_dump.init(), x0, info=_info(), noise=noise)
+    rf = fused_fb.solve(fused_fb.init(), x0, info=_info(), noise=noise)
+    np.testing.assert_array_equal(np.asarray(rd.aux.costs), np.asarray(rf.aux.costs))
+    np.testing.assert_array_equal(float(rd.aux.lam), float(rf.aux.lam))
+    np.testing.assert_array_equal(
+        np.asarray(rd.action_seq), np.asarray(rf.action_seq)
+    )
+
+
 def test_row_interval_query_matches_grid():
     rng = np.random.default_rng(0)
     grid = (rng.random((200, 160)) < 0.2).astype(float)
