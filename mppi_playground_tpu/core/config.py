@@ -7,7 +7,7 @@ mutable buffers.  TPU-first, we split those into:
 * :class:`MPPIConfig` — a frozen, hashable dataclass.  Everything here is a
   *compile-time constant*: it selects the traced program, so one config ==
   one XLA executable (no per-tick recompiles, static shapes throughout).
-* :class:`SolverState` — an immutable pytree carrying exactly the warm-start
+* :class:`MPPIState` — an immutable pytree carrying exactly the warm-start
   items the reference keeps in mutable buffers (previous action sequence
   ``mppi.py:157,452``, SG history ``mppi.py:163-165,456-458``, the current
   temperature ``mppi.py:183-210,349,364-370,398``, the MPO optimizer state

@@ -92,6 +92,15 @@ class MPPI:
             store_rollouts=store_rollouts,
             kernel_backend=kernel_backend,
         )
+        def _build_xla_solver(jit: bool = True):
+            # no donation: the facade promises solver_state can be
+            # stashed/checkpointed freely (the pytree is tiny, so
+            # donating buys nothing)
+            return make_solver(
+                self.config, dynamics, cost_func, jit=jit,
+                donate_state=False,
+            )
+
         if fused_task is not None:
             if store_rollouts:
                 raise ValueError(
@@ -107,9 +116,6 @@ class MPPI:
 
             if fused_supported() and fused_envelope(self.config):
                 def _build_solver(jit: bool = True):
-                    # no donation: the facade promises solver_state can be
-                    # stashed/checkpointed freely (the pytree is tiny, so
-                    # donating buys nothing)
                     return make_fused_solver(
                         self.config, fused_task, dynamics, jit=jit,
                         donate_state=False,
@@ -117,17 +123,9 @@ class MPPI:
             else:
                 # same fallback on TPU and CPU: out-of-envelope configs use
                 # the (numerically equivalent) XLA path
-                def _build_solver(jit: bool = True):
-                    return make_solver(
-                        self.config, dynamics, cost_func, jit=jit,
-                        donate_state=False,
-                    )
+                _build_solver = _build_xla_solver
         else:
-            def _build_solver(jit: bool = True):
-                return make_solver(
-                    self.config, dynamics, cost_func, jit=jit,
-                    donate_state=False,
-                )
+            _build_solver = _build_xla_solver
         self._build_solver = _build_solver
         self._solver = _build_solver()
         # lazily-built unjitted twin for run_episode (the episode loop is

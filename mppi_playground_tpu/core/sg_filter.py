@@ -48,8 +48,15 @@ def apply_sg_filter(
     horizon = action_seq.shape[0]
     prolonged = jnp.concatenate([history, action_seq], axis=0)  # [L, m]
     pad = coeffs.shape[0] // 2
+    # length-based right slice: prolonged[-pad:] with pad == 0 (window 1)
+    # would mirror the WHOLE signal instead of nothing
     padded = jnp.concatenate(
-        [prolonged[:pad][::-1], prolonged, prolonged[-pad:][::-1]], axis=0
+        [
+            prolonged[:pad][::-1],
+            prolonged,
+            prolonged[len(prolonged) - pad:][::-1],
+        ],
+        axis=0,
     )  # [L + 2p, m]
     length = prolonged.shape[0]
     window = coeffs.shape[0]

@@ -24,7 +24,10 @@ def checked_solve(solver):
     """
 
     def solve_with_checks(state, x0, info=None, noise=None):
-        result = solver.solve(state, x0, info=info, noise=noise)
+        # only forward noise= when given: some solve surfaces (e.g. the
+        # sharded solver) take no noise parameter
+        kwargs = {} if noise is None else {"noise": noise}
+        result = solver.solve(state, x0, info=info, **kwargs)
         checkify.check(
             jnp.all(jnp.isfinite(result.aux.costs)),
             "non-finite trajectory costs (dynamics or cost overflow)",

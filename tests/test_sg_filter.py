@@ -92,3 +92,22 @@ def test_solver_with_sg_filter_runs():
         state = result.state
     assert result.action_seq.shape == (8, 2)
     assert np.all(np.isfinite(np.asarray(result.action_seq)))
+
+
+def test_sg_filter_window_one_is_identity():
+    """window 1 / order 0 is a valid config; the zero-pad edge must not
+    mirror the whole signal (the `[-0:]` slice hazard) — the filter is
+    exactly the identity."""
+    import jax.numpy as jnp
+
+    from mppi_playground_tpu.core.sg_filter import (
+        apply_sg_filter,
+        savitzky_golay_coeffs,
+    )
+
+    coeffs = jnp.asarray(savitzky_golay_coeffs(1, 0), jnp.float32)
+    np.testing.assert_allclose(np.asarray(coeffs), [1.0])
+    seq = jnp.arange(12.0).reshape(6, 2)
+    hist = -jnp.ones((5, 2))
+    out = apply_sg_filter(seq, hist, coeffs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq))
