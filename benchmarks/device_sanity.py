@@ -27,9 +27,11 @@ def main(n: int = 4096):
     a = rng.normal(size=(n, n)).astype(np.float32)
     b = rng.normal(size=(n, n)).astype(np.float32)
 
+    expected = a @ b  # warmup: BLAS thread-pool spin-up / page-in
     t0 = time.perf_counter()
-    expected = a @ b
-    cpu_s = time.perf_counter() - t0
+    for _ in range(3):  # averaged like the device side, for a fair ratio
+        expected = a @ b
+    cpu_s = (time.perf_counter() - t0) / 3
 
     # TPUs default f32 matmuls to bfloat16 passes; the numerics check
     # needs true f32 (the timing reflects the same HIGHEST-precision path)

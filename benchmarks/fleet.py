@@ -71,6 +71,12 @@ def main() -> None:
     run = make_fleet_closed_loop(batched, env.dynamics, ticks, info_fn=info_fn)
 
     x0 = env.reset()
+    if B > len(path):
+        raise SystemExit(
+            f"--batch {B} exceeds the circuit path length ({len(path)}): "
+            f"the per-episode staggering below needs one start point per "
+            f"episode"
+        )
     # stagger the fleet along the first path points so episodes differ
     starts = jnp.asarray(path[:: max(1, len(path) // B)][:B, :])
     x0s = jnp.stack(

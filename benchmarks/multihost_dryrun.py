@@ -140,9 +140,16 @@ def _run_once() -> tuple[bool, list]:
     ok = True
     for i, p in enumerate(procs):
         try:
-            out, err = p.communicate(timeout=420)
+            # a local-CPU rendezvous + tiny sharded solve takes seconds;
+            # 180 s is generous and keeps the worst case (2 children x 3
+            # attempts sequential) inside the caller's outer budget
+            # (__graft_entry__.dryrun_multihost)
+            out, err = p.communicate(timeout=180)
         except subprocess.TimeoutExpired:
-            p.kill()
+            # one hung child means the rendezvous is dead: kill the whole
+            # cohort so no deadlocked grandchildren outlive this attempt
+            for q in procs:
+                q.kill()
             out, err = p.communicate()
             ok = False
         lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]

@@ -142,8 +142,9 @@ def check_dump_pert_matches_regen():
     seed = jnp.asarray(11, jnp.int32)
     x0 = jnp.asarray([np.pi, 0.0], jnp.float32)
 
-    costs, _, _, pert = core.run_kernel(x0, prev, jnp.asarray(1.0), seed, {},
-                                        dump_pert=True)
+    # dump_pert pairs with costs_only (the auto-lambda phase-1 shape)
+    costs, pert = core.run_kernel(x0, prev, jnp.asarray(1.0), seed, {},
+                                  dump_pert=True, costs_only=True)
     regen = core.run_regen(prev, seed)
     d_flat = horizon * 1
     k_pad = pert.shape[1] * LANES

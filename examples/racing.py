@@ -33,6 +33,14 @@ def main(
     episode: bool = False,
 ):
     env = RacingEnv()
+    if fused:
+        from mppi_playground_tpu.ops.fused_solve import fused_supported
+
+        if not fused_supported():
+            # a forced 'fused' backend would hit the interpret-mode PRNG
+            # gate on the first tick; fall back loudly instead
+            print("--fused requires a TPU backend; using the XLA solver")
+            fused = False
     # --fused: one Pallas kernel per tick; rollouts stay implicit and the
     # top-sample overlay is regenerated from the solve's PRNG seeds
     controller = RacingController(
