@@ -42,11 +42,13 @@ import jax
 import jax.numpy as jnp
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
-if _REPO not in sys.path:  # benchmarks.flagship import when cwd differs
+if _REPO not in sys.path:  # package import when cwd differs
     sys.path.insert(0, _REPO)
 
-HORIZON = 50
-NUM_SAMPLES = 100_000
+from mppi_playground_tpu.workloads import (  # noqa: E402 — after sys.path
+    FLAGSHIP_HORIZON as HORIZON,
+    FLAGSHIP_NUM_SAMPLES as NUM_SAMPLES,
+)
 TARGET_SOLVES_PER_S = 100.0  # BASELINE.json north star
 WARMUP = 5
 WINDOWS = 5
@@ -58,7 +60,7 @@ EPISODE_WINDOWS = 3
 def build():
     # shared with __graft_entry__.entry() so the benchmarked program and
     # the driver's compile check cannot drift
-    from benchmarks.flagship import build_flagship
+    from mppi_playground_tpu.workloads import build_flagship
 
     env, solver, tick4 = build_flagship(HORIZON, NUM_SAMPLES)
 

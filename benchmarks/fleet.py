@@ -47,6 +47,13 @@ def main() -> None:
 
     B, ticks = args.batch, args.ticks
     env = RacingEnv()
+    path = env.racing_center_path
+    if B > len(path):
+        raise SystemExit(
+            f"--batch {B} exceeds the circuit path length ({len(path)}): "
+            f"the per-episode staggering below needs one start point per "
+            f"episode"
+        )
     config = MPPIConfig(
         horizon=args.horizon, num_samples=args.samples, dim_state=4,
         dim_control=2,
@@ -61,7 +68,6 @@ def main() -> None:
         jit=False, donate_state=False,
     )
 
-    path = env.racing_center_path
     ref_one = lambda x, c: calc_ref_trajectory(x, path, c, args.horizon)
 
     def info_fn(cinds, xs):
@@ -71,12 +77,6 @@ def main() -> None:
     run = make_fleet_closed_loop(batched, env.dynamics, ticks, info_fn=info_fn)
 
     x0 = env.reset()
-    if B > len(path):
-        raise SystemExit(
-            f"--batch {B} exceeds the circuit path length ({len(path)}): "
-            f"the per-episode staggering below needs one start point per "
-            f"episode"
-        )
     # stagger the fleet along the first path points so episodes differ
     starts = jnp.asarray(path[:: max(1, len(path) // B)][:B, :])
     x0s = jnp.stack(

@@ -139,22 +139,14 @@ def main():
     # flagship, single-dispatch episodes: N ticks per program amortize the
     # per-dispatch overhead (core/closed_loop.py)
     from mppi_playground_tpu.core.closed_loop import make_closed_loop
-    from mppi_playground_tpu.core.fused_solver import make_fused_solver
-    from mppi_playground_tpu.models.racing_mpcc import (
-        calc_ref_trajectory,
-        make_racing_fused_task_from_env,
-    )
+    from mppi_playground_tpu.models.racing_mpcc import calc_ref_trajectory
     from mppi_playground_tpu.ops.fused_solve import fused_supported
+    from mppi_playground_tpu.workloads import build_flagship
 
     if fused_supported():
         horizon, k, ticks = 50, 100_000, 50
-        config = MPPIConfig(
-            horizon=horizon, num_samples=k, dim_state=4, dim_control=2,
-            u_min=(-2.0, -0.25), u_max=(2.0, 0.25), sigmas=(0.5, 0.1),
-            lambda_=1.0, store_rollouts=False,
-        )
-        task = make_racing_fused_task_from_env(renv)
-        solver = make_fused_solver(config, task, renv.dynamics, jit=False)
+        # same construction as bench.py / the compile-check entry
+        _, solver, _ = build_flagship(horizon, k, env=renv)
         path = renv.racing_center_path
 
         def info_fn(cind, x):

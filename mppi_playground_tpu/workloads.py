@@ -1,21 +1,36 @@
-"""Shared flagship-workload construction (racing MPCC @ T=50, K=100k).
+"""Shared benchmark-workload construction.
 
-The BASELINE north-star workload is built in two driver-facing places:
-``bench.py`` (the recorded benchmark) and ``__graft_entry__.entry()`` (the
-single-chip compile check).  Both call :func:`build_flagship` so the
-benchmarked program and the compile-checked program cannot drift.
+The BASELINE north-star workload (racing MPCC at T=50, K=100k — the
+reference's racing example scaled up, /root/reference/example/racing.py:24-35)
+is built in three driver-facing places: ``bench.py`` (the recorded
+benchmark), ``__graft_entry__.entry()`` (the single-chip compile check)
+and ``benchmarks/run_all.py`` (the per-workload snapshot).  All of them
+call :func:`build_flagship` so the benchmarked program, the
+compile-checked program and the snapshot cannot drift.
+
+This lives inside the package (not under ``benchmarks/``) so consumers
+that import it in-process — the driver calls ``entry()`` from an
+arbitrary interpreter — do not depend on a generically-named top-level
+``benchmarks`` module that another tool may already occupy.
 """
 
 from __future__ import annotations
 
+FLAGSHIP_HORIZON = 50
+FLAGSHIP_NUM_SAMPLES = 100_000
 
-def build_flagship(horizon: int, num_samples: int):
+
+def build_flagship(horizon: int = FLAGSHIP_HORIZON,
+                   num_samples: int = FLAGSHIP_NUM_SAMPLES,
+                   env=None):
     """Build the flagship racing tick -> ``(env, solver, tick)``.
 
     ``tick(solver_state, cind, x) -> (action_seq, state_seq, new_state,
     new_cind)`` is unjitted — callers choose jit/donation.  The solver is
     the fused Pallas kernel on TPU, the numerically equivalent XLA scan
-    path elsewhere.
+    path elsewhere.  Pass ``env`` to reuse an already-built
+    :class:`~mppi_playground_tpu.envs.racing_env.RacingEnv` (map
+    rasterization is host-side and takes ~1 s).
     """
     from mppi_playground_tpu.core.config import MPPIConfig
     from mppi_playground_tpu.core.fused_solver import make_fused_solver
@@ -28,7 +43,8 @@ def build_flagship(horizon: int, num_samples: int):
     )
     from mppi_playground_tpu.ops.fused_solve import fused_supported
 
-    env = RacingEnv()
+    if env is None:
+        env = RacingEnv()
     config = MPPIConfig(
         horizon=horizon,
         num_samples=num_samples,
