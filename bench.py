@@ -74,14 +74,27 @@ def build():
     return env, solver, tick
 
 
-def measure_host_driven(env, solver, tick, windows, iters, warmup=WARMUP):
-    """Median-of-windows solves/s of the per-tick dispatch mode."""
+def measure_host_driven(
+    env, solver, tick, windows, iters, warmup=WARMUP, sync_every_tick=False
+):
+    """Median-of-windows solves/s of the per-tick dispatch mode.
+
+    With ``sync_every_tick`` the first action is brought to the host every
+    tick (``np.asarray``) before the next solve is issued — no dispatch
+    pipelining, the rate a real-time controller can act at (a real
+    controller must read the action to act on it).  Otherwise the host
+    enqueues tick t+1 while t runs and the window syncs only at its end.
+    """
+    import numpy as np
+
     x = env.reset()
     state = solver.init()
     cind = jnp.asarray(0, jnp.int32)
 
     for _ in range(warmup):  # compile + steady state
         action_seq, state, cind = tick(state, cind, x)
+        if sync_every_tick:
+            np.asarray(action_seq[0])
     jax.block_until_ready(action_seq)
 
     rates = []
@@ -89,32 +102,11 @@ def measure_host_driven(env, solver, tick, windows, iters, warmup=WARMUP):
         start = time.perf_counter()
         for _ in range(iters):
             action_seq, state, cind = tick(state, cind, x)
+            if sync_every_tick:
+                np.asarray(action_seq[0])  # the action a controller applies
         jax.block_until_ready(action_seq)
         rates.append(iters / (time.perf_counter() - start))
     return statistics.median(rates), rates
-
-
-def measure_host_synced(env, solver, tick, windows, iters, warmup=WARMUP):
-    """Strict host-in-the-loop rate: the first action is brought to the
-    host every tick (``np.asarray``) before the next solve is issued —
-    no dispatch pipelining, the rate a real-time controller can act at."""
-    import numpy as np
-
-    x = env.reset()
-    state = solver.init()
-    cind = jnp.asarray(0, jnp.int32)
-    for _ in range(warmup):
-        action_seq, state, cind = tick(state, cind, x)
-        np.asarray(action_seq[0])
-
-    rates = []
-    for _ in range(windows):
-        start = time.perf_counter()
-        for _ in range(iters):
-            action_seq, state, cind = tick(state, cind, x)
-            np.asarray(action_seq[0])  # the action a controller would apply
-        rates.append(iters / (time.perf_counter() - start))
-    return statistics.median(rates)
 
 
 def measure_amortized(env, solver):
@@ -174,7 +166,9 @@ def main() -> None:
         # the optional phases are individually guarded: the headline
         # host-driven number must survive a failure in any of them
         try:
-            synced = measure_host_synced(env, solver, tick, 3, ITERS)
+            synced, _ = measure_host_driven(
+                env, solver, tick, 3, ITERS, sync_every_tick=True
+            )
             extra["host_synced_solves_per_s"] = round(synced, 1)
         except Exception as exc:  # noqa: BLE001 — headline must survive
             extra["host_synced_note"] = f"synced bench failed: {type(exc).__name__}"

@@ -104,14 +104,19 @@ def main():
     # racing (reference workload T=25 K=4000, fused backend when on TPU)
     from mppi_playground_tpu.envs.racing_controller import RacingController
     from mppi_playground_tpu.envs.racing_env import RacingEnv
+    from mppi_playground_tpu.workloads import (
+        FLAGSHIP_HORIZON,
+        FLAGSHIP_NUM_SAMPLES,
+    )
 
     renv = RacingEnv()
     for horizon, k, tag, lam in [
         (25, 4000, "racing", 1.0),
-        (50, 100_000, "racing_flagship", 1.0),
+        (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship", 1.0),
         # two-phase auto-lambda at flagship scale (phase-1 pert dump +
         # phase-2 read-back; tracks the auto-lambda overhead over fixed)
-        (50, 100_000, "racing_flagship_essps", "ESSPS"),
+        (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship_essps",
+         "ESSPS"),
     ]:
         ctrl = RacingController(
             renv, horizon=horizon, num_samples=k, store_rollouts=False,
@@ -144,7 +149,7 @@ def main():
     from mppi_playground_tpu.workloads import build_flagship
 
     if fused_supported():
-        horizon, k, ticks = 50, 100_000, 50
+        horizon, k, ticks = FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, 50
         # same construction as bench.py / the compile-check entry
         _, solver, _ = build_flagship(horizon, k, env=renv)
         path = renv.racing_center_path

@@ -30,14 +30,9 @@ def main(
 ):
     env = Navigation2DEnv()
 
-    if fused:
-        from mppi_playground_tpu.ops.fused_solve import fused_supported
+    from mppi_playground_tpu.ops.fused_solve import resolve_fused_request
 
-        if not fused_supported():
-            # the facade would silently fall back to XLA, but with
-            # store_rollouts=False the top-300 overlay below would fail
-            print("--fused requires a TPU backend; using the XLA solver")
-            fused = False
+    fused = resolve_fused_request(fused)
     # --fused: one Pallas kernel per tick; the top-300 overlay is
     # regenerated from the solve's PRNG seeds instead of stored rollouts
     extra = dict(store_rollouts=False, fused_task=env.fused_task()) if fused else {}

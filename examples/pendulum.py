@@ -26,6 +26,9 @@ from mppi_playground_tpu.utils.angles import angle_normalize
 
 def main(save_mode: bool = False, steps: int = 200, use_gym: bool = True,
          fused: bool = False, episode: bool = False):
+    from mppi_playground_tpu.ops.fused_solve import resolve_fused_request
+
+    fused = resolve_fused_request(fused)
     env = None
     if use_gym and not episode:
         try:

@@ -33,14 +33,9 @@ def main(
     episode: bool = False,
 ):
     env = RacingEnv()
-    if fused:
-        from mppi_playground_tpu.ops.fused_solve import fused_supported
+    from mppi_playground_tpu.ops.fused_solve import resolve_fused_request
 
-        if not fused_supported():
-            # a forced 'fused' backend would hit the interpret-mode PRNG
-            # gate on the first tick; fall back loudly instead
-            print("--fused requires a TPU backend; using the XLA solver")
-            fused = False
+    fused = resolve_fused_request(fused)
     # --fused: one Pallas kernel per tick; rollouts stay implicit and the
     # top-sample overlay is regenerated from the solve's PRNG seeds
     controller = RacingController(

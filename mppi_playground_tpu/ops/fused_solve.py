@@ -145,6 +145,22 @@ def fused_supported() -> bool:
         return False
 
 
+def resolve_fused_request(fused: bool) -> bool:
+    """Gate a user-requested fused backend on actual hardware support.
+
+    A forced ``fused`` backend off-TPU is unusable: the first tick hits
+    the interpret-mode PRNG gate (``pltpu.prng_random_bits`` has no CPU
+    interpreter), and with ``store_rollouts=False`` the stored-rollout
+    diagnostics the examples overlay are unavailable too.  CLI entry
+    points that expose a ``--fused`` flag route it through here so the
+    fallback is loud and identical everywhere.
+    """
+    if fused and not fused_supported():
+        print("--fused requires a TPU backend; using the XLA solver")
+        return False
+    return fused
+
+
 def make_fused_reroll(
     config: MPPIConfig, task: FusedTask, interpret: Optional[bool] = None
 ):
