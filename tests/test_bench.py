@@ -30,3 +30,18 @@ def test_bench_main_prints_one_json_line(capsys, monkeypatch):
     assert extra["solve_ms"] > 0
     assert len(extra["windows"]) >= 1
     assert "backend" in extra and "device" in extra
+
+
+def test_host_synced_mode_measures_and_matches_schema(monkeypatch):
+    """The TPU-only host-synced phase reuses measure_host_driven with
+    sync_every_tick=True; pin that branch on the CPU path so a timing-loop
+    edit cannot silently break the strict host-in-the-loop mode."""
+    monkeypatch.setattr(bench, "NUM_SAMPLES", 512)
+    monkeypatch.setattr(bench, "HORIZON", 10)
+
+    env, solver, tick = bench.build()
+    synced, rates = bench.measure_host_driven(
+        env, solver, tick, windows=1, iters=2, warmup=1, sync_every_tick=True
+    )
+    assert synced > 0
+    assert len(rates) == 1
