@@ -531,3 +531,34 @@ def test_interval_table_pads_to_lane_multiples():
             py = jnp.asarray([(iy - 10.0) * 0.1], jnp.float32)
             got = float(interval_query(t, px, py)[0])
             assert got == float(grid[w - 1, iy]), (w, iy)
+
+
+def test_fused_envelope_gates_unsupported_configs():
+    """fused_envelope is the single source of truth for kernel fit: every
+    build-time constraint the kernels assert must be reflected here so
+    solver_backend='auto' falls back to XLA instead of crashing (ADVICE r1:
+    dim_state was once asserted only inside make_fused_reroll)."""
+    from mppi_playground_tpu.ops.fused_solve import LANES, fused_envelope
+
+    assert fused_envelope(_config())
+    # horizon * dim_control must pack into one vreg lane axis
+    assert not fused_envelope(_config(horizon=LANES + 1))
+    # state packs into vreg lanes inside make_fused_reroll
+    assert not fused_envelope(_config(dim_state=LANES + 1))
+    # kernels are f32-only
+    assert not fused_envelope(_config(dtype=jnp.float64))
+    # rollouts stay implicit in the fused kernel
+    assert not fused_envelope(_config(store_rollouts=True))
+
+
+def test_resolve_fused_request_falls_back_loudly_off_tpu(capsys):
+    from mppi_playground_tpu.ops.fused_solve import (
+        fused_supported,
+        resolve_fused_request,
+    )
+
+    assert not fused_supported()  # conftest forces the CPU backend
+    assert resolve_fused_request(False) is False
+    assert capsys.readouterr().out == ""
+    assert resolve_fused_request(True) is False
+    assert "requires a TPU backend" in capsys.readouterr().out
