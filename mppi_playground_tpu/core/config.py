@@ -77,6 +77,12 @@ class MPPIConfig:
     kernel_backend: str = "auto"
 
     def __post_init__(self):
+        # the reference crashes obscurely on these (e.g. horizon=0 hits an
+        # IndexError deep in the warm-start shift); fail with a clear message
+        if self.horizon < 1:
+            raise ValueError(f"horizon must be >= 1, got {self.horizon}")
+        if self.num_samples < 1:
+            raise ValueError(f"num_samples must be >= 1, got {self.num_samples}")
         for name in ("u_min", "u_max", "sigmas"):
             if len(getattr(self, name)) != self.dim_control:
                 raise ValueError(

@@ -176,6 +176,14 @@ def test_invalid_lambda_rejected():
         _integrator_config(lambda_="NOPE")
 
 
+def test_degenerate_sizes_rejected():
+    # the reference crashes obscurely on horizon=0 and solves K=0 silently
+    with pytest.raises(ValueError, match="horizon"):
+        _integrator_config(horizon=0)
+    with pytest.raises(ValueError, match="num_samples"):
+        _integrator_config(num_samples=0)
+
+
 def test_sg_filter_config_validation():
     with pytest.raises(ValueError):
         _integrator_config(use_sg_filter=True, sg_window_size=4)
