@@ -27,7 +27,10 @@ def top_samples(
         state_seq_batch: ``[K, T+1, n]`` rollout batch from ``SolveAux``.
         weights: ``[K]`` softmin weights from ``SolveAux``.
     """
-    assert num_samples <= weights.shape[0]
+    assert num_samples <= weights.shape[0], (
+        f"requested top {num_samples} samples, but the solve drew "
+        f"{weights.shape[0]}"
+    )
     top_weights, top_indices = jax.lax.top_k(weights, num_samples)
     return state_seq_batch[top_indices], top_weights
 

@@ -53,10 +53,13 @@ class ObstacleMap:
         cell_size: float = 0.01,
         dtype=jnp.float32,
     ) -> None:
-        assert len(map_size) == 2
-        assert cell_size > 0
-        assert map_size[0] % 2 == 0
-        assert map_size[1] % 2 == 0
+        assert len(map_size) == 2, "map_size must be (width, height) in meters"
+        assert cell_size > 0, "cell_size must be positive (meters per cell)"
+        # the grid is centered on the origin, so both extents must split
+        # evenly into halves (obstacle_map_2d.py:52-55 carries the same
+        # constraint implicitly through its x_lim/y_lim arithmetic)
+        assert map_size[0] % 2 == 0, "map_size width must be even (centered grid)"
+        assert map_size[1] % 2 == 0, "map_size height must be even (centered grid)"
 
         cell_map_dim = (ceil(map_size[0] / cell_size), ceil(map_size[1] / cell_size))
         self._map = np.zeros(cell_map_dim)
