@@ -169,10 +169,11 @@ class MPPI:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One solve (mppi.py:223-460) -> ``(action_seq, state_seq)``."""
         state = jnp.asarray(state, self.config.dtype)
-        assert state.shape == (self.config.dim_state,), (
-            f"state must have shape ({self.config.dim_state},) "
-            f"(= dim_state), got {state.shape}"
-        )
+        if state.shape != (self.config.dim_state,):
+            raise ValueError(
+                f"state must have shape ({self.config.dim_state},) "
+                f"(= dim_state), got {state.shape}"
+            )
         result = self._solver.solve(self._state, state, info=info, noise=noise)
         self._state = result.state
         self._last_aux = result.aux
@@ -249,10 +250,11 @@ class MPPI:
         self, optimal_solution: jnp.ndarray, state, num_samples: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Posterior action/state samples (mppi.py:489-506)."""
-        assert num_samples <= self.config.num_samples, (
-            f"requested {num_samples} posterior samples, but the solver "
-            f"was built with num_samples={self.config.num_samples}"
-        )
+        if num_samples > self.config.num_samples:
+            raise ValueError(
+                f"requested {num_samples} posterior samples, but the solver "
+                f"was built with num_samples={self.config.num_samples}"
+            )
         self._diag_key, sub = jax.random.split(self._diag_key)
         sigmas = jnp.asarray(self.config.sigmas, self.config.dtype)
         samples = diagnostics.posterior_samples(

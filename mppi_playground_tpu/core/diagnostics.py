@@ -27,10 +27,11 @@ def top_samples(
         state_seq_batch: ``[K, T+1, n]`` rollout batch from ``SolveAux``.
         weights: ``[K]`` softmin weights from ``SolveAux``.
     """
-    assert num_samples <= weights.shape[0], (
-        f"requested top {num_samples} samples, but the solve drew "
-        f"{weights.shape[0]}"
-    )
+    if num_samples > weights.shape[0]:
+        raise ValueError(
+            f"requested top {num_samples} samples, but the solve drew "
+            f"{weights.shape[0]}"
+        )
     top_weights, top_indices = jax.lax.top_k(weights, num_samples)
     return state_seq_batch[top_indices], top_weights
 

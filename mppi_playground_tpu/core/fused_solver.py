@@ -223,11 +223,15 @@ def make_fused_solver(
 
     def top_samples(aux: SolveAux, n: int, noise=None):
         """(state_seqs [n, T+1, dim_state], weights [n]), weight-descending."""
-        assert aux.seed is not None, "aux must come from a fused solve"
-        assert n <= config.num_samples, (
-            f"requested top {n} samples, but the solver was built with "
-            f"num_samples={config.num_samples}"
-        )
+        if aux.seed is None:
+            raise ValueError(
+                "aux must come from a fused solve (aux.seed is unset)"
+            )
+        if n > config.num_samples:
+            raise ValueError(
+                f"requested top {n} samples, but the solver was built with "
+                f"num_samples={config.num_samples}"
+            )
         if noise is None and aux.noise_injected is not None and bool(
             jnp.any(aux.noise_injected)
         ):

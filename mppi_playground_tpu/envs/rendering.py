@@ -66,7 +66,9 @@ def save_gif(frames, path: str, fps: int = 10) -> Optional[str]:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     import imageio.v2 as imageio
 
-    imageio.mimsave(path, frames, fps=fps)
+    # imageio >= 2.28 deprecated the fps= kwarg for gifs in favor of a
+    # per-frame duration in milliseconds
+    imageio.mimsave(path, frames, duration=1000.0 / fps)
     return path
 
 

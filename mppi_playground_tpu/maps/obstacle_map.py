@@ -53,13 +53,17 @@ class ObstacleMap:
         cell_size: float = 0.01,
         dtype=jnp.float32,
     ) -> None:
-        assert len(map_size) == 2, "map_size must be (width, height) in meters"
-        assert cell_size > 0, "cell_size must be positive (meters per cell)"
+        if len(map_size) != 2:
+            raise ValueError("map_size must be (width, height) in meters")
+        if cell_size <= 0:
+            raise ValueError("cell_size must be positive (meters per cell)")
         # the grid is centered on the origin, so both extents must split
         # evenly into halves (obstacle_map_2d.py:52-55 carries the same
         # constraint implicitly through its x_lim/y_lim arithmetic)
-        assert map_size[0] % 2 == 0, "map_size width must be even (centered grid)"
-        assert map_size[1] % 2 == 0, "map_size height must be even (centered grid)"
+        if map_size[0] % 2 != 0 or map_size[1] % 2 != 0:
+            raise ValueError(
+                f"map_size extents must be even (centered grid), got {map_size}"
+            )
 
         cell_map_dim = (ceil(map_size[0] / cell_size), ceil(map_size[1] / cell_size))
         self._map = np.zeros(cell_map_dim)
@@ -84,7 +88,11 @@ class ObstacleMap:
     # ------------------------------------------------------------------
     def add_circle_obstacle(self, center: np.ndarray, radius: float) -> None:
         """Rasterize a disk (obstacle_map_2d.py:103-126): rounded center."""
-        assert len(center) == 2 and radius > 0
+        if len(center) != 2 or radius <= 0:
+            raise ValueError(
+                f"need a 2D center and positive radius, got center={center!r} "
+                f"radius={radius!r}"
+            )
         center_occ = np.round(center / self._cell_size + self._cell_map_origin).astype(int)
         radius_occ = ceil(radius / self._cell_size)
 
@@ -105,7 +113,11 @@ class ObstacleMap:
         self, center: np.ndarray, width: float, height: float
     ) -> None:
         """Rasterize a rectangle (obstacle_map_2d.py:128-162): ceil'd center."""
-        assert len(center) == 2 and width > 0 and height > 0
+        if len(center) != 2 or width <= 0 or height <= 0:
+            raise ValueError(
+                f"need a 2D center and positive width/height, got "
+                f"center={center!r} width={width!r} height={height!r}"
+            )
         center_occ = np.ceil(center / self._cell_size + self._cell_map_origin).astype(int)
         width_occ = ceil(width / self._cell_size)
         height_occ = ceil(height / self._cell_size)

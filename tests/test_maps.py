@@ -34,6 +34,19 @@ def test_circle_rasterization():
     assert float(m.compute_cost(jnp.asarray([[3.0, 3.0]]))[0]) == 0.0
 
 
+def test_map_argument_validation():
+    """Constructor/obstacle validation raises ValueError (survives -O)."""
+    with pytest.raises(ValueError, match="even"):
+        ObstacleMap(map_size=(21, 20), cell_size=0.1)
+    with pytest.raises(ValueError, match="cell_size"):
+        ObstacleMap(map_size=(20, 20), cell_size=0.0)
+    m = ObstacleMap(map_size=(20, 20), cell_size=0.1)
+    with pytest.raises(ValueError, match="radius"):
+        m.add_circle_obstacle(np.array([0.0, 0.0]), -1.0)
+    with pytest.raises(ValueError, match="width"):
+        m.add_rectangle_obstacle(np.array([0.0, 0.0]), 0.0, 1.0)
+
+
 def test_rectangle_rasterization():
     m = ObstacleMap(map_size=(20, 20), cell_size=0.1)
     m.add_rectangle_obstacle(np.array([2.0, -1.0]), 2.0, 2.0)

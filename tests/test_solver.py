@@ -184,6 +184,31 @@ def test_degenerate_sizes_rejected():
         _integrator_config(num_samples=0)
 
 
+def test_bad_state_shape_rejected():
+    """User-facing validation must raise ValueError (not a bare assert
+    that python -O strips) when solve() gets a batched/wrong-shape state."""
+    from mppi_playground_tpu.core.controller import MPPI
+
+    solver = MPPI(
+        horizon=10,
+        num_samples=64,
+        dim_state=2,
+        dim_control=2,
+        dynamics=integrator.dynamics,
+        cost_func=integrator.cost,
+        u_min=(-1.0, -1.0),
+        u_max=(1.0, 1.0),
+        sigmas=(0.5, 0.5),
+        lambda_=1.0,
+    )
+    with pytest.raises(ValueError, match="dim_state"):
+        solver.forward(jnp.zeros((1, 2)))  # batched state, not (dim_state,)
+    with pytest.raises(ValueError, match="posterior samples"):
+        solver.get_samples_from_posterior(
+            jnp.zeros((10, 2)), jnp.zeros(2), num_samples=10**9
+        )
+
+
 def test_sg_filter_config_validation():
     with pytest.raises(ValueError):
         _integrator_config(use_sg_filter=True, sg_window_size=4)
