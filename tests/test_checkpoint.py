@@ -75,3 +75,84 @@ def test_load_rejects_mismatched_shapes(tmp_path):
     path = save_state(str(tmp_path / "st"), small)
     with pytest.raises(ValueError, match="different solver config"):
         load_state(path, big_template)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend
+# ---------------------------------------------------------------------------
+
+def test_orbax_roundtrip_resumes_identically(tmp_path):
+    from mppi_playground_tpu.utils.checkpoint import (
+        load_state_orbax,
+        save_state_orbax,
+    )
+
+    solver = _solver("ESSPS")
+    state = solver.init(seed=0)
+    x = jnp.asarray([np.pi, 0.0])
+    for _ in range(3):
+        state = solver.solve(state, x).state
+
+    path = save_state_orbax(str(tmp_path / "orbax_ckpt"), state)
+    restored = load_state_orbax(path, solver.init())
+
+    r_direct = solver.solve(state, x)
+    r_restored = solver.solve(restored, x)
+    np.testing.assert_array_equal(
+        np.asarray(r_direct.action_seq), np.asarray(r_restored.action_seq)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_direct.state.lam), np.asarray(r_restored.state.lam)
+    )
+
+
+def test_orbax_restores_template_sharding(tmp_path):
+    """A mesh-sharded fleet/scenario state round-trips WITH its sharding —
+    the production serving path (no host gather on restore)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mppi_playground_tpu.utils.checkpoint import (
+        load_state_orbax,
+        save_state_orbax,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("scenario",))
+    shard = NamedSharding(mesh, P("scenario"))
+
+    solver = _solver(1.0)
+    batched = jax.vmap(lambda _: solver.init(seed=0))(jnp.arange(4))
+    batched = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, shard), batched
+    )
+
+    path = save_state_orbax(str(tmp_path / "fleet_ckpt"), batched)
+    restored = load_state_orbax(path, batched)
+
+    for direct, back in zip(
+        jax.tree_util.tree_leaves(batched), jax.tree_util.tree_leaves(restored)
+    ):
+        assert back.sharding == direct.sharding
+        np.testing.assert_array_equal(np.asarray(direct), np.asarray(back))
+
+
+def test_orbax_mismatched_template_rejected(tmp_path):
+    import pytest
+
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.core.solver import make_init
+    from mppi_playground_tpu.utils.checkpoint import (
+        load_state_orbax,
+        save_state_orbax,
+    )
+
+    def cfg(horizon):
+        return MPPIConfig(
+            horizon=horizon, num_samples=64, dim_state=2, dim_control=2,
+            u_min=(-1.0, -1.0), u_max=(1.0, 1.0), sigmas=(1.0, 1.0),
+            lambda_=1.0,
+        )
+
+    path = save_state_orbax(str(tmp_path / "st"), make_init(cfg(4))())
+    with pytest.raises(ValueError, match="solver config"):
+        load_state_orbax(path, make_init(cfg(8))())
