@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mppi_playground_tpu import MPPIConfig, make_solver
 from mppi_playground_tpu.models import pendulum
@@ -46,8 +47,6 @@ def test_checkpoint_roundtrip_resumes_identically(tmp_path):
 
 
 def test_checkpoint_leaf_mismatch_rejected(tmp_path):
-    import pytest
-
     solver_a = _solver(1.0)
     solver_b = _solver("MPO")  # MPO adds optimizer leaves
     path = save_state(str(tmp_path / "ckpt"), solver_a.init())
@@ -57,8 +56,6 @@ def test_checkpoint_leaf_mismatch_rejected(tmp_path):
 
 def test_load_rejects_mismatched_shapes(tmp_path):
     """A checkpoint from a different config must fail loudly, not broadcast."""
-    import pytest
-
     from mppi_playground_tpu.core.config import MPPIConfig
     from mppi_playground_tpu.core.solver import make_init
     from mppi_playground_tpu.utils.checkpoint import load_state, save_state
@@ -82,6 +79,7 @@ def test_load_rejects_mismatched_shapes(tmp_path):
 # ---------------------------------------------------------------------------
 
 def test_orbax_roundtrip_resumes_identically(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
     from mppi_playground_tpu.utils.checkpoint import (
         load_state_orbax,
         save_state_orbax,
@@ -107,6 +105,7 @@ def test_orbax_roundtrip_resumes_identically(tmp_path):
 
 
 def test_orbax_restores_template_sharding(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
     """A mesh-sharded fleet/scenario state round-trips WITH its sharding —
     the production serving path (no host gather on restore)."""
     import jax
@@ -137,8 +136,7 @@ def test_orbax_restores_template_sharding(tmp_path):
 
 
 def test_orbax_mismatched_template_rejected(tmp_path):
-    import pytest
-
+    pytest.importorskip("orbax.checkpoint")
     from mppi_playground_tpu.core.config import MPPIConfig
     from mppi_playground_tpu.core.solver import make_init
     from mppi_playground_tpu.utils.checkpoint import (
