@@ -176,3 +176,24 @@ def test_parity_lbps():
 
 def test_parity_mpo():
     _run_parity("pendulum", lambda_="MPO", atol=1e-4)
+
+
+def test_parity_random_config_sweep():
+    """Seeded fuzz over the config space: random horizon/K/exploration/SG/λ
+    combinations must all track the float64 oracle — catches interactions
+    the fixed-point tests above don't reach."""
+    rng = np.random.default_rng(2024)
+    for i in range(6):
+        case = ("integrator", "pendulum")[i % 2]
+        lambda_ = [1.0, 0.05, "ESSPS", "LBPS", "MPO", 10.0][i]
+        loose = isinstance(lambda_, str)  # f32 auto-λ vs f64 scipy root
+        _run_parity(
+            case,
+            lambda_=lambda_,
+            horizon=int(rng.integers(3, 16)),
+            num_samples=int(rng.integers(64, 400)),
+            ticks=3,
+            exploration=float(rng.choice([0.0, 0.25, 0.9])),
+            use_sg_filter=bool(rng.integers(0, 2)),
+            atol=5e-3 if loose else 1e-4,
+        )
