@@ -43,16 +43,18 @@ class DangerZone:
         self.radius = cfg["radius"]
         self.center = np.asarray(cfg["center"], dtype=float)
 
-    def get_random_inside_point(self) -> np.ndarray:
-        angle = np.random.uniform(0, 2 * np.pi)
-        radius = np.random.uniform(0, self.radius)
+    def get_random_inside_point(self, rng=None) -> np.ndarray:
+        rng = np.random if rng is None else rng
+        angle = rng.uniform(0, 2 * np.pi)
+        radius = rng.uniform(0, self.radius)
         return np.array(
             [radius * np.cos(angle), radius * np.sin(angle)]
         ) + self.center
 
-    def get_random_outside_point(self) -> np.ndarray:
-        angle = np.random.uniform(0, 2 * np.pi)
-        radius = np.random.uniform(self.radius, 2 * self.radius)
+    def get_random_outside_point(self, rng=None) -> np.ndarray:
+        rng = np.random if rng is None else rng
+        angle = rng.uniform(0, 2 * np.pi)
+        radius = rng.uniform(self.radius, 2 * self.radius)
         return np.array(
             [radius * np.cos(angle), radius * np.sin(angle)]
         ) + self.center
@@ -130,11 +132,19 @@ class GoalInDangerZoneEnv(_GYM_BASE):
     def reset(
         self, seed: Optional[int] = None, options: Optional[dict] = None
     ) -> Tuple[np.ndarray, dict]:
+        # Conscious divergence from the reference: its start/goal draws come
+        # from the GLOBAL np.random stream (goal_in_danger_zone.py:30-41,
+        # 101-108), so its reset(seed=N) is not reproducible and fails
+        # gymnasium's env_checker step-determinism test.  We draw from the
+        # env's seeded RNG (self.np_random) per the gymnasium API.
         if _GYM_BASE is not object:
             super().reset(seed=seed)
-        self._pos = self._danger_zone.get_random_outside_point()
-        self._angle = np.random.uniform(-np.pi, np.pi)
-        self._goal = self._danger_zone.get_random_inside_point()
+            rng = self.np_random
+        else:  # gymnasium unavailable: reference-style global stream
+            rng = np.random
+        self._pos = self._danger_zone.get_random_outside_point(rng)
+        self._angle = rng.uniform(-np.pi, np.pi)
+        self._goal = self._danger_zone.get_random_inside_point(rng)
         self.set_render_info()
         self._step = 0
         return self._observe(), {"cost": 0.0}
