@@ -154,3 +154,21 @@ def test_orbax_mismatched_template_rejected(tmp_path):
     path = save_state_orbax(str(tmp_path / "st"), make_init(cfg(4))())
     with pytest.raises(ValueError, match="solver config"):
         load_state_orbax(path, make_init(cfg(8))())
+
+
+def test_orbax_async_save_commits_after_wait(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import jax.numpy as jnp
+
+    from mppi_playground_tpu.utils.checkpoint import (
+        load_state_orbax,
+        save_state_orbax,
+        wait_until_saved,
+    )
+
+    state = {"a": jnp.arange(8.0), "b": jnp.full((2, 3), 7.0)}
+    path = save_state_orbax(str(tmp_path / "async_ck"), state, wait=False)
+    wait_until_saved()  # join the background commit
+    restored = load_state_orbax(path, {"a": jnp.zeros(8), "b": jnp.zeros((2, 3))})
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(8.0))
+    np.testing.assert_array_equal(np.asarray(restored["b"]), np.full((2, 3), 7.0))
