@@ -45,6 +45,13 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:  # package import when cwd differs
     sys.path.insert(0, _REPO)
 
+# Persistent compilation cache: the bench compiles ~4 flagship programs
+# (~30-40 s each through the device tunnel); caching them makes repeat
+# runs minutes faster.
+from mppi_playground_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from mppi_playground_tpu.workloads import (  # noqa: E402 — after sys.path
     FLAGSHIP_HORIZON as HORIZON,
     FLAGSHIP_NUM_SAMPLES as NUM_SAMPLES,

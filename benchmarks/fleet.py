@@ -26,6 +26,10 @@ sys.path.insert(0, _REPO)
 import jax
 import jax.numpy as jnp
 
+from mppi_playground_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
