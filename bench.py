@@ -19,7 +19,9 @@ Serving modes measured:
 * **host-synced** (``extra.host_synced_solves_per_s``): same loop but the
   first action is fetched to the host every tick before the next solve is
   issued — the strict host-in-the-loop real-time control mode (a real
-  controller must read the action to act on it).
+  controller must read the action to act on it).  The measured pure
+  sync round trip (``extra.tunnel_sync_ms``) is recorded next to it so
+  an environmental latency change is not misread as a solver regression.
 * **amortized-episode** (``extra.amortized_solves_per_s``): N ticks
   scanned inside ONE program (``core/closed_loop.py``) — the simulation /
   data-generation mode, which pays the dispatch cost once per episode.
@@ -116,6 +118,27 @@ def measure_host_driven(
     return statistics.median(rates), rates
 
 
+def measure_sync_floor(iters: int = 20) -> float:
+    """Median ms of [trivial dispatch -> block_until_ready] round trips.
+
+    The host-synced mode can never beat this floor: it is the pure
+    environmental cost of synchronizing with the device once per tick
+    (through the tunnel backend this has been observed anywhere from
+    ~0.7 ms to ~26 ms across sessions).  Recording it next to
+    ``host_synced_solves_per_s`` attributes that number to environment
+    vs solver code.
+    """
+    probe = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    probe(x).block_until_ready()  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        probe(x).block_until_ready()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return statistics.median(times)
+
+
 def measure_amortized(env, solver):
     """Solves/s with EPISODE_TICKS ticks scanned inside one program."""
     from mppi_playground_tpu.core.closed_loop import make_closed_loop
@@ -177,6 +200,7 @@ def main() -> None:
                 env, solver, tick, 3, ITERS, sync_every_tick=True
             )
             extra["host_synced_solves_per_s"] = round(synced, 1)
+            extra["tunnel_sync_ms"] = round(measure_sync_floor(), 3)
         except Exception as exc:  # noqa: BLE001 — headline must survive
             extra["host_synced_note"] = f"synced bench failed: {type(exc).__name__}"
         try:

@@ -45,3 +45,11 @@ def test_host_synced_mode_measures_and_matches_schema(monkeypatch):
     )
     assert synced > 0
     assert len(rates) == 1
+
+
+def test_sync_floor_probe_returns_positive_ms():
+    """measure_sync_floor (recorded as extra.tunnel_sync_ms) times the pure
+    dispatch+block round trip — the environmental floor the host-synced
+    rate is attributed against."""
+    ms = bench.measure_sync_floor(iters=3)
+    assert ms > 0
