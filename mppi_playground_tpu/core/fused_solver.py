@@ -200,7 +200,17 @@ def make_fused_solver(
 
     if jit:
         donate = (0,) if donate_state else ()
-        solve_fn = jax.jit(solve, donate_argnums=donate)
+        _solve_jit = jax.jit(solve, donate_argnums=donate)
+
+        def solve_fn(state, x0, info=None, noise=None):
+            result = _solve_jit(state, x0, info=info, noise=noise)
+            # `noise is None` is static per trace; rewriting the device
+            # scalar with the host bool here lets top_samples check it
+            # without a device->host sync per call (which costs a full
+            # tunnel round trip — ~0.7-26 ms — on every get_top_samples)
+            aux = result.aux._replace(noise_injected=noise is not None)
+            return result._replace(aux=aux)
+
         states_prediction_jit = jax.jit(states_prediction)
     else:
         solve_fn = solve
@@ -232,9 +242,12 @@ def make_fused_solver(
                 f"requested top {n} samples, but the solver was built with "
                 f"num_samples={config.num_samples}"
             )
-        if noise is None and aux.noise_injected is not None and bool(
-            jnp.any(aux.noise_injected)
-        ):
+        injected = aux.noise_injected
+        if injected is not None and not isinstance(injected, bool):
+            # aux from a non-wrapped (jit=False / manually jitted) solve
+            # still carries the device scalar; syncing is the fallback
+            injected = bool(jnp.any(injected))
+        if noise is None and injected:
             # replaying the PRNG seeds would regenerate a stream unrelated
             # to the solve's injected noise — silently wrong trajectories
             raise ValueError(

@@ -161,7 +161,14 @@ class RacingController:
             jnp.asarray(state, self.config.dtype), noise,
         )
         self.solver_state = result.state
-        self._last_aux = result.aux
+        # `noise is None` was static in the tick's trace; rewriting the
+        # device scalar with the host bool lets get_top_samples check it
+        # without a device->host sync per call (the inner solver is
+        # unjitted here, so the fused facade's own rewrite never ran)
+        aux = result.aux
+        if aux.noise_injected is not None:
+            aux = aux._replace(noise_injected=noise is not None)
+        self._last_aux = aux
         self._last_noise = noise
         return result.action_seq, result.state_seq
 

@@ -306,6 +306,20 @@ def test_fused_top_samples_requires_matching_noise(solvers):
     assert seqs.shape == (5, HORIZON + 1, 2)
 
 
+def test_fused_solve_records_noise_flag_as_host_bool(solvers):
+    """The jitted facade rewrites aux.noise_injected with the (static)
+    host bool, so per-tick get_top_samples never pays a device->host
+    sync just to learn which stream the solve used (a full tunnel round
+    trip — observed up to ~26 ms — per call otherwise)."""
+    cfg, fused, xla = solvers
+    x0 = jnp.asarray([0.0, 0.0], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(6), (K, HORIZON, 1), jnp.float32) * 0.7
+    )
+    rf = fused.solve(fused.init(), x0, info=_info(), noise=noise)
+    assert isinstance(rf.aux.noise_injected, bool) and rf.aux.noise_injected
+
+
 @pytest.mark.skipif(
     jax.default_backend() == "tpu",
     reason="on a native backend the seeded path runs for real",
