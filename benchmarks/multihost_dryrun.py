@@ -178,16 +178,22 @@ def main() -> int:
             break
         sys.stderr.write(f"attempt {attempt} failed; retrying\n")
 
-    print(
-        json.dumps(
-            {
-                "check": "multihost_dryrun",
-                "ok": ok,
-                "num_processes": NUM_PROCESSES,
-                "reports": reports,
-            }
-        )
+    summary = json.dumps(
+        {
+            "check": "multihost_dryrun",
+            "ok": ok,
+            "num_processes": NUM_PROCESSES,
+            "reports": reports,
+        }
     )
+    print(summary)
+    # persist the artifact so every driver round leaves a diffable record
+    # (committed per round as MULTIHOST_r{N}.json; see BASELINE.md)
+    try:
+        with open(os.path.join(_REPO, "MULTIHOST_latest.json"), "w") as f:
+            f.write(summary + "\n")
+    except OSError:
+        pass  # read-only checkouts still get the printed line
     return 0 if ok else 1
 
 

@@ -1,9 +1,18 @@
 """All-workload benchmark harness.
 
 Measures end-to-end solves/s for every reference workload (SURVEY.md §6
-table: pendulum, cartpole, mountain car, navigation-2d, racing) plus the
-flagship racing configuration, on whatever accelerator JAX selects.
-Prints one JSON line per workload (same schema as bench.py).
+table: pendulum, cartpole, mountain car, navigation-2d, goal-in-danger-
+zone, racing) plus the flagship racing configuration, on whatever
+accelerator JAX selects.  On TPU each workload is measured on three
+serving paths:
+
+* ``<name>``           — XLA scan solver, one dispatch per tick
+* ``<name>_fused``     — single fused Pallas kernel per tick
+* ``<name>_episode_amortized`` — EPISODE_TICKS ticks scanned inside ONE
+  dispatched program (``core/closed_loop.py``), the simulation /
+  data-generation serving mode
+
+Prints one JSON line per row (same schema as bench.py).
 
 Run:  python benchmarks/run_all.py
 """
@@ -20,8 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from mppi_playground_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 WARMUP = 3
 ITERS = 30
+EPISODE_TICKS = 50
+EPISODE_REPS = 3
 
 
 def _time_tick(tick, *args):
@@ -37,7 +52,7 @@ def _time_tick(tick, *args):
     return (time.perf_counter() - t0) / ITERS
 
 
-def _report(name, horizon, k, seconds):
+def _report(name, horizon, k, seconds, **extra_fields):
     print(
         json.dumps(
             {
@@ -50,15 +65,26 @@ def _report(name, horizon, k, seconds):
                 "extra": {
                     "solve_ms": round(seconds * 1e3, 3),
                     "device": str(jax.devices()[0]),
+                    **extra_fields,
                 },
             }
         )
     )
 
 
-def bench_simple(name, horizon, k, dim_state, dim_control, dynamics, cost,
-                 u_min, u_max, sigmas, lambda_):
+def _fused_on():
+    from mppi_playground_tpu.ops.fused_solve import fused_supported
+
+    return fused_supported()
+
+
+def bench_workload(name, horizon, k, dim_state, dim_control, dynamics, cost,
+                   fused_task, u_min, u_max, sigmas, lambda_, x0=None,
+                   episode=True):
+    """XLA row always; fused + amortized-episode rows on TPU backends."""
+    from mppi_playground_tpu.core.closed_loop import make_closed_loop
     from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
     from mppi_playground_tpu.core.solver import make_solver
 
     config = MPPIConfig(
@@ -66,40 +92,78 @@ def bench_simple(name, horizon, k, dim_state, dim_control, dynamics, cost,
         dim_control=dim_control, u_min=u_min, u_max=u_max, sigmas=sigmas,
         lambda_=lambda_, store_rollouts=False,
     )
+    if x0 is None:
+        x0 = jnp.zeros(dim_state)
+
     solver = make_solver(config, dynamics, cost, jit=False)
-    tick = jax.jit(lambda s, x: solver.solve(s, x))
-    st = solver.init()
-    x0 = jnp.zeros(dim_state)
-    dt = _time_tick(tick, st, x0)
-    _report(name, horizon, k, dt)
+    tick = jax.jit(lambda s, x: (lambda r: (r.action_seq, r.state))(
+        solver.solve(s, x)))
+    dt = _time_tick(tick, solver.init(), x0)
+    _report(name, horizon, k, dt, path="xla")
+
+    if fused_task is None or not _fused_on():
+        return
+
+    fused = make_fused_solver(config, fused_task, dynamics, jit=False)
+    ftick = jax.jit(lambda s, x: (lambda r: (r.action_seq, r.state))(
+        fused.solve(s, x)))
+    dt = _time_tick(ftick, fused.init(), x0)
+    _report(f"{name}_fused", horizon, k, dt, path="fused")
+
+    if not episode:
+        return
+
+    def plant(x, u):
+        return dynamics(x[None], u[None])[0]
+
+    run = make_closed_loop(fused, plant, EPISODE_TICKS)
+    st = fused.init()
+    out = run(st, x0, None)
+    jax.block_until_ready(out[1])
+    t0 = time.perf_counter()
+    for _ in range(EPISODE_REPS):
+        out = run(st, x0, None)
+    jax.block_until_ready(out[1])
+    dt = (time.perf_counter() - t0) / (EPISODE_REPS * EPISODE_TICKS)
+    _report(f"{name}_episode_amortized", horizon, k, dt,
+            path="fused_episode", episode_ticks=EPISODE_TICKS)
 
 
 def main():
-    from mppi_playground_tpu.models import cartpole, mountain_car, pendulum
+    from mppi_playground_tpu.models import (
+        cartpole,
+        danger_zone,
+        mountain_car,
+        pendulum,
+    )
 
-    # reference workloads (SURVEY.md §6): exact solver configs
-    bench_simple("pendulum", 15, 1000, 2, 1, pendulum.dynamics, pendulum.cost,
-                 (-2.0,), (2.0,), (1.0,), "ESSPS")
-    bench_simple("cartpole", 10, 100, 4, 1, cartpole.dynamics, cartpole.cost,
-                 cartpole.U_MIN, cartpole.U_MAX, (1.0,), 0.001)
-    bench_simple("mountaincar", 100, 1000, 2, 1, mountain_car.dynamics,
-                 mountain_car.cost, (-1.0,), (1.0,), (1.0,), 0.1)
+    # reference workloads (SURVEY.md §6 / BASELINE.md): exact solver configs
+    bench_workload("pendulum", 15, 1000, 2, 1, pendulum.dynamics,
+                   pendulum.cost, pendulum.fused_task(), (-2.0,), (2.0,),
+                   (1.0,), "ESSPS")
+    bench_workload("cartpole", 10, 100, 4, 1, cartpole.dynamics,
+                   cartpole.cost, cartpole.fused_task(), cartpole.U_MIN,
+                   cartpole.U_MAX, (1.0,), 0.001)
+    bench_workload("mountaincar", 100, 1000, 2, 1, mountain_car.dynamics,
+                   mountain_car.cost, mountain_car.fused_task(), (-1.0,),
+                   (1.0,), (1.0,), 0.1)
+
+    # goal-in-danger-zone (T=30, K=3000, 7-dim CMDP obs; BASELINE.md table)
+    dz_radius = 10.0
+    dz_dyn = danger_zone.make_dynamics()
+    bench_workload("danger_zone", 30, 3000, 7, 2, dz_dyn,
+                   danger_zone.make_cost(radius=dz_radius),
+                   danger_zone.make_fused_task(radius=dz_radius),
+                   danger_zone.U_MIN, danger_zone.U_MAX, (0.5, 0.5), 1.0,
+                   x0=jnp.asarray([-15.0, 0.0, 0.0, 15.0, 0.0, 15.0, 0.0]))
 
     # navigation-2d (T=30, K=3000, ESSPS) on the real obstacle map
-    from mppi_playground_tpu.core.config import MPPIConfig
-    from mppi_playground_tpu.core.solver import make_solver
     from mppi_playground_tpu.envs.navigation_2d import Navigation2DEnv
 
     env = Navigation2DEnv()
-    config = MPPIConfig(
-        horizon=30, num_samples=3000, dim_state=3, dim_control=2,
-        u_min=(0.0, -1.0), u_max=(2.0, 1.0), sigmas=(0.5, 0.5),
-        lambda_="ESSPS", store_rollouts=False,
-    )
-    solver = make_solver(config, env.dynamics, env.cost_function, jit=False)
-    tick = jax.jit(lambda s, x: solver.solve(s, x))
-    dt = _time_tick(tick, solver.init(), env.reset())
-    _report("navigation2d", 30, 3000, dt)
+    bench_workload("navigation2d", 30, 3000, 3, 2, env.dynamics,
+                   env.cost_function, env.fused_task, (0.0, -1.0),
+                   (2.0, 1.0), (0.5, 0.5), "ESSPS", x0=env.reset())
 
     # racing (reference workload T=25 K=4000, fused backend when on TPU)
     from mppi_playground_tpu.envs.racing_controller import RacingController
@@ -110,14 +174,24 @@ def main():
     )
 
     renv = RacingEnv()
-    for horizon, k, tag, lam in [
+    racing_rows = [
         (25, 4000, "racing", 1.0),
         (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship", 1.0),
         # two-phase auto-lambda at flagship scale (phase-1 pert dump +
-        # phase-2 read-back; tracks the auto-lambda overhead over fixed)
+        # VMEM-resident lambda kernel + phase-2 read-back; tracks the
+        # auto-lambda overhead over fixed)
         (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship_essps",
          "ESSPS"),
-    ]:
+    ]
+    if _fused_on():
+        # single-chip weak-scaling proof point: 10x the north-star K
+        # (the fused path's HBM footprint is K-linear only in [K] costs
+        # + the auto-lambda pert dump)
+        racing_rows.append((FLAGSHIP_HORIZON, 1_048_576, "racing_1m", 1.0))
+        racing_rows.append(
+            (FLAGSHIP_HORIZON, 1_048_576, "racing_1m_essps", "ESSPS")
+        )
+    for horizon, k, tag, lam in racing_rows:
         ctrl = RacingController(
             renv, horizon=horizon, num_samples=k, store_rollouts=False,
             lambda_=lam,
@@ -139,17 +213,17 @@ def main():
             st = result.state
         jax.block_until_ready(result.action_seq)
         dt = (time.perf_counter() - t0) / ITERS
-        _report(tag + "_" + ctrl.solver_backend, horizon, k, dt)
+        _report(tag + "_" + ctrl.solver_backend, horizon, k, dt,
+                rollouts_per_s=round(k / dt))
 
     # flagship, single-dispatch episodes: N ticks per program amortize the
     # per-dispatch overhead (core/closed_loop.py)
     from mppi_playground_tpu.core.closed_loop import make_closed_loop
     from mppi_playground_tpu.models.racing_mpcc import calc_ref_trajectory
-    from mppi_playground_tpu.ops.fused_solve import fused_supported
     from mppi_playground_tpu.workloads import build_flagship
 
-    if fused_supported():
-        horizon, k, ticks = FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, 50
+    if _fused_on():
+        horizon, k = FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES
         # same construction as bench.py / the compile-check entry
         _, solver, _ = build_flagship(horizon, k, env=renv)
         path = renv.racing_center_path
@@ -160,7 +234,7 @@ def main():
 
         run = make_closed_loop(
             solver, lambda x, u: renv.dynamics(x[None], u[None])[0],
-            ticks, info_fn=info_fn,
+            EPISODE_TICKS, info_fn=info_fn,
         )
         x0 = renv.reset()
         st = solver.init()
@@ -171,8 +245,9 @@ def main():
         for _ in range(5):
             out = run(st, x0, cind)
         jax.block_until_ready(out[1])
-        dt = (time.perf_counter() - t0) / (5 * ticks)
-        _report("racing_flagship_episode_amortized", horizon, k, dt)
+        dt = (time.perf_counter() - t0) / (5 * EPISODE_TICKS)
+        _report("racing_flagship_episode_amortized", horizon, k, dt,
+                path="fused_episode", episode_ticks=EPISODE_TICKS)
 
 
 if __name__ == "__main__":

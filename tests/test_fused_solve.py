@@ -210,6 +210,147 @@ def test_fused_auto_lambda_matches_xla(mode):
     )
 
 
+def test_fused_multi_vreg_long_horizon_matches_xla():
+    """d_flat = 160 > 128: action slots span two sublanes of the packed
+    numerator tile (the round-2 one-vreg envelope).  Must equal the XLA
+    solver under injected noise exactly like the d_flat <= 128 case."""
+    horizon = 160
+    cfg = _config(horizon=horizon, num_samples=1024)
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.asarray([0.0, 0.0], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(31), (1024, horizon, 1), jnp.float32)
+        * 0.7
+    )
+    info = {"target": jnp.ones((horizon, 1), jnp.float32) * 2.0}
+    rf = fused.solve(fused.init(), x0, info=info, noise=noise)
+    rx = xla.solve(xla.init(), x0, info=info, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.costs), np.asarray(rx.aux.costs), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
+    )
+    # 160 accumulated stage costs amplify f32 reduction-order drift through
+    # the softmin exponential; costs above are tight, weights get headroom
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.weights), np.asarray(rx.aux.weights), atol=1e-4
+    )
+
+
+def _quad_task():
+    """4-control 3-state model: d_flat = 4*horizon exercises wide controls."""
+
+    def dynamics_soa(xs, us):
+        px, py, v = xs
+        ax, ay, brake, steer = us
+        new_v = 0.95 * v + 0.05 * (ax - brake)
+        return (px + 0.1 * (new_v + ay), py + 0.1 * (new_v + steer), new_v)
+
+    def cost_soa(xs, us, ctx):
+        px, py, v = xs
+        return (px - 1.0) ** 2 + (py + 0.5) ** 2 + 0.1 * v * v + 0.01 * (
+            us[0] ** 2 + us[1] ** 2 + us[2] ** 2 + us[3] ** 2
+        )
+
+    def smem_builder(info):
+        return {}
+
+    return FusedTask(
+        dynamics_soa=dynamics_soa,
+        stage_cost_soa=cost_soa,
+        vmem_args={},
+        smem_builder=smem_builder,
+    )
+
+
+def _quad_aos():
+    def dynamics(state, action):
+        new_v = 0.95 * state[:, 2] + 0.05 * (action[:, 0] - action[:, 2])
+        return jnp.stack(
+            [
+                state[:, 0] + 0.1 * (new_v + action[:, 1]),
+                state[:, 1] + 0.1 * (new_v + action[:, 3]),
+                new_v,
+            ],
+            axis=1,
+        )
+
+    def cost(state, action, info):
+        return (
+            (state[:, 0] - 1.0) ** 2
+            + (state[:, 1] + 0.5) ** 2
+            + 0.1 * state[:, 2] ** 2
+            + 0.01 * jnp.sum(action**2, axis=1)
+        )
+
+    return dynamics, cost
+
+
+@pytest.mark.parametrize("horizon", [33, 64])
+def test_fused_multi_vreg_wide_control_matches_xla(horizon):
+    """dim_control = 4 at T >= 33 (d_flat 132/256, beyond one vreg)."""
+    cfg = _config(
+        horizon=horizon, num_samples=1024, dim_state=3, dim_control=4,
+        u_min=(-1.0,) * 4, u_max=(1.0,) * 4, sigmas=(0.5, 0.5, 0.3, 0.3),
+    )
+    task = _quad_task()
+    dyn, cost = _quad_aos()
+    fused = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.zeros(3, jnp.float32)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(37), (1024, horizon, 4), jnp.float32
+    ) * jnp.asarray(cfg.sigmas, jnp.float32)
+    rf = fused.solve(fused.init(), x0, noise=noise)
+    rx = xla.solve(xla.init(), x0, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.costs), np.asarray(rx.aux.costs), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.weights), np.asarray(rx.aux.weights), atol=1e-5
+    )
+
+
+def test_fused_tile_height_invariant_under_injected_noise():
+    """tile_sublanes=16 (two interleaved vreg chains per grid step) must
+    produce the same solve as the default 8 when the noise is injected
+    (the seeded PRNG stream legitimately differs across tile heights)."""
+    from mppi_playground_tpu.ops.fused_solve import make_fused_solve
+
+    horizon = 5
+    k = 2048 + 512  # padding exercises the masked tail at both heights
+    cfg = _config(horizon=horizon, num_samples=k)
+    task = _toy_task()
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(17), (k, horizon, 1), jnp.float32)
+        * 0.7
+    )
+    x0 = jnp.asarray([0.1, -0.3], jnp.float32)
+    prev = jnp.zeros((horizon, 1), jnp.float32)
+    lam = jnp.asarray(0.5, jnp.float32)
+    seed = jnp.asarray(0, jnp.int32)
+    smem = {"target": jnp.ones((horizon, 1), jnp.float32) * 2.0}
+
+    outs = []
+    for s in (8, 16):
+        core = make_fused_solve(cfg, task, tile_sublanes=s)
+        outs.append(jax.jit(
+            lambda core=core: core(x0, prev, lam, seed, smem, noise)
+        )())
+    (c8, u8, w8, e8), (c16, u16, w16, e16) = outs
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c16), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u8), np.asarray(u16), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(w8), np.asarray(w16), atol=1e-5)
+    np.testing.assert_allclose(float(e8), float(e16), rtol=1e-4)
+
+
 def test_fused_sg_filter_matches():
     cfg = _config(use_sg_filter=True, sg_window_size=5, sg_poly_order=3)
     task = _toy_task()
@@ -552,11 +693,17 @@ def test_fused_envelope_gates_unsupported_configs():
     build-time constraint the kernels assert must be reflected here so
     solver_backend='auto' falls back to XLA instead of crashing (ADVICE r1:
     dim_state was once asserted only inside make_fused_reroll)."""
-    from mppi_playground_tpu.ops.fused_solve import LANES, fused_envelope
+    from mppi_playground_tpu.ops.fused_solve import (
+        LANES,
+        SUBLANES,
+        fused_envelope,
+    )
 
     assert fused_envelope(_config())
-    # horizon * dim_control must pack into one vreg lane axis
-    assert not fused_envelope(_config(horizon=LANES + 1))
+    # action slots pack across sublanes: one vreg tile holds 8*128 = 1024
+    assert fused_envelope(_config(horizon=LANES + 1))
+    assert fused_envelope(_config(horizon=SUBLANES * LANES))
+    assert not fused_envelope(_config(horizon=SUBLANES * LANES + 1))
     # state packs into vreg lanes inside make_fused_reroll
     assert not fused_envelope(_config(dim_state=LANES + 1))
     # kernels are f32-only
