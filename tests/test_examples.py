@@ -149,3 +149,22 @@ def test_mujoco_example_runs(capsys):
 
     ex.main(save_mode=False, steps=2, render=False)
     assert "average solve time" in capsys.readouterr().out
+
+
+def test_make_media_fast(tmp_path, monkeypatch):
+    """examples/make_media.py renders the three gymnasium-workload gifs
+    (reference media parity: /root/reference/media/*.gif)."""
+    gymnasium = pytest.importorskip("gymnasium")  # noqa: F841
+    import os
+    import sys
+
+    from examples import make_media
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_media.py", "--fast", "--out", str(tmp_path)],
+    )
+    make_media.main()
+    for name in ("pendulum", "cartpole", "mountaincar"):
+        p = tmp_path / f"{name}.gif"
+        assert p.exists() and os.path.getsize(p) > 0, name
