@@ -27,21 +27,42 @@ from mppi_playground_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 WINDOWS = 5
-ITERS = 30
+REPS = 3
+SCAN_N = 50
 HORIZON = 50
 SAMPLES = 100_000
 
 
-def _time(fn, *args):
-    out = fn(*args)
+def _time_scan(make_kernel_call, seed0):
+    """Device ms/call via a SCAN_N-iteration lax.scan in one dispatch.
+
+    Isolated dispatches are host-marshaling bound through the tunnel
+    (see benchmarks/kernel_fraction.py), so each variant is timed as a
+    chained scan — the per-iteration carry consumes an output so nothing
+    is DCE'd.
+    """
+    from jax import lax
+
+    def scan(seed):
+        def body(carry, _):
+            sd, acc = carry
+            costs = make_kernel_call(sd)
+            return (sd + 1 + (costs[0] > 1e30).astype(jnp.int32),
+                    acc + costs[0]), None
+
+        (sd, acc), _ = lax.scan(body, (seed, 0.0), None, length=SCAN_N)
+        return acc
+
+    fn = jax.jit(scan)
+    out = fn(seed0)
     jax.block_until_ready(out)
     rates = []
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(*args)
+        for _ in range(REPS):
+            out = fn(seed0)
         jax.block_until_ready(out)
-        rates.append((time.perf_counter() - t0) / ITERS)
+        rates.append((time.perf_counter() - t0) / (REPS * SCAN_N))
     return statistics.median(rates) * 1e3
 
 
@@ -137,12 +158,14 @@ def main() -> None:
         )
         core = make_fused_solve(config, task)
         smem = task.smem_builder(info)
-        fn = jax.jit(
-            lambda x, p, s, core=core, smem=smem: core.run_kernel(
-                x, p, lam, s, smem, costs_only=True
+
+        def call(sd, core=core, smem=smem):
+            (costs,) = core.run_kernel(
+                x0, prev, lam, sd, smem, costs_only=True
             )
-        )
-        ms = _time(fn, x0, prev, seed)
+            return costs
+
+        ms = _time_scan(call, seed)
         results[name] = round(ms, 4)
         print(json.dumps({"metric": f"ablate_{name}_ms", "value": results[name],
                           "unit": "ms", "vs_baseline": None, "extra": {}}))

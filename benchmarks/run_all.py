@@ -162,7 +162,7 @@ def main():
 
     env = Navigation2DEnv()
     bench_workload("navigation2d", 30, 3000, 3, 2, env.dynamics,
-                   env.cost_function, env.fused_task, (0.0, -1.0),
+                   env.cost_function, env.fused_task(), (0.0, -1.0),
                    (2.0, 1.0), (0.5, 0.5), "ESSPS", x0=env.reset())
 
     # racing (reference workload T=25 K=4000, fused backend when on TPU)

@@ -108,7 +108,11 @@ def make_mpcc_cost_soa(
       :class:`~mppi_playground_tpu.ops.row_intervals.RowIntervalTable`
       pytrees with their ``lo``/``hi`` leaves materialized in VMEM.
     """
-    from mppi_playground_tpu.ops.row_intervals import interval_query
+    from mppi_playground_tpu.ops.row_intervals import (
+        interval_query,
+        interval_query_pair,
+        same_geometry,
+    )
 
     def cost_soa(xs, us, ctx):
         x, y, _theta, v = xs
@@ -128,9 +132,17 @@ def make_mpcc_cost_soa(
 
         velocity_cost = qv * (v - rv) ** 2
 
-        map_cost = interval_query(
-            ctx["vmem"]["obstacle_table"], x, y
-        ) + interval_query(ctx["vmem"]["lane_table"], x, y)
+        obstacle_table = ctx["vmem"]["obstacle_table"]
+        lane_table = ctx["vmem"]["lane_table"]
+        if same_geometry(obstacle_table, lane_table):
+            # racing's grids share the raster: one shared index
+            # computation feeds both tables' slot loops (bit-equal to
+            # the two separate queries — tests/test_ops.py)
+            map_cost = interval_query_pair(obstacle_table, lane_table, x, y)
+        else:
+            map_cost = interval_query(obstacle_table, x, y) + interval_query(
+                lane_table, x, y
+            )
         obstacle_cost = qo * map_cost
 
         input_cost = sum(qin * u * u for u in us)

@@ -128,6 +128,43 @@ def _row_lookup(table_vreg: jnp.ndarray, group: jnp.ndarray, lane: jnp.ndarray):
     return out
 
 
+def _query_indices(table: RowIntervalTable, px, py):
+    """Shared index math: (oob mask, iy, sublane group, lane) per point."""
+    # Divide (not multiply-by-reciprocal): the reference and grid_cost use
+    # x / cell_size, and the f32 results differ at cell boundaries.
+    ix = jnp.round(px / table.cell_size + table.origin[0])
+    iy = jnp.round(py / table.cell_size + table.origin[1])
+    oob = (ix < 0) | (ix >= table.width) | (iy < 0) | (iy >= table.height)
+    ix = jnp.clip(ix, 0.0, float(table.width - 1))
+    iy = jnp.clip(iy, 0.0, float(table.height - 1))
+
+    ixi = ix.astype(jnp.int32)
+    return oob, iy, ixi >> 7, ixi & (LANES - 1)
+
+
+def _blocked(table: RowIntervalTable, iy, group, lane):
+    """Interval-membership test for one table at shared indices."""
+    blocked = jnp.zeros(iy.shape, bool)
+    for k in range(table.max_intervals):
+        p = _row_lookup(table.packed[k], group, lane)
+        lo_k = jnp.floor(p * (1.0 / 2048.0))
+        hi_k = p - lo_k * 2048.0
+        blocked = blocked | ((iy >= lo_k) & (iy < hi_k))
+    return blocked
+
+
+def _to_lane_blocks(px, py):
+    shape = px.shape
+    total = int(np.prod(shape)) if shape else 1
+    if len(shape) == 2 and shape[1] == LANES:
+        return px, py, shape, total, True
+    # flatten + pad to [R, 128] so the lane-gather shapes line up
+    pad = (-total) % LANES
+    px = jnp.concatenate([px.reshape(-1), jnp.zeros(pad, px.dtype)])
+    py = jnp.concatenate([py.reshape(-1), jnp.zeros(pad, py.dtype)])
+    return px.reshape(-1, LANES), py.reshape(-1, LANES), shape, total, False
+
+
 def interval_query(
     table: RowIntervalTable, px: jnp.ndarray, py: jnp.ndarray
 ) -> jnp.ndarray:
@@ -138,39 +175,57 @@ def interval_query(
     interval tests.  Pure jnp — traces both under jit (tests) and inside
     Pallas kernels (production path).
     """
-    shape = px.shape
-    total = int(np.prod(shape)) if shape else 1
-    if len(shape) == 2 and shape[1] == LANES:
-        pad = 0
-    else:  # flatten + pad to [R, 128] so the lane-gather shapes line up
-        pad = (-total) % LANES
-        px = jnp.concatenate([px.reshape(-1), jnp.zeros(pad, px.dtype)])
-        py = jnp.concatenate([py.reshape(-1), jnp.zeros(pad, py.dtype)])
-        px = px.reshape(-1, LANES)
-        py = py.reshape(-1, LANES)
-
-    # Divide (not multiply-by-reciprocal): the reference and grid_cost use
-    # x / cell_size, and the f32 results differ at cell boundaries.
-    ix = jnp.round(px / table.cell_size + table.origin[0])
-    iy = jnp.round(py / table.cell_size + table.origin[1])
-    oob = (ix < 0) | (ix >= table.width) | (iy < 0) | (iy >= table.height)
-    ix = jnp.clip(ix, 0.0, float(table.width - 1))
-    iy = jnp.clip(iy, 0.0, float(table.height - 1))
-
-    ixi = ix.astype(jnp.int32)
-    group = ixi >> 7
-    lane = ixi & (LANES - 1)
-
-    blocked = jnp.zeros(ix.shape, bool)
-    for k in range(table.max_intervals):
-        p = _row_lookup(table.packed[k], group, lane)
-        lo_k = jnp.floor(p * (1.0 / 2048.0))
-        hi_k = p - lo_k * 2048.0
-        blocked = blocked | ((iy >= lo_k) & (iy < hi_k))
+    px, py, shape, total, native = _to_lane_blocks(px, py)
+    oob, iy, group, lane = _query_indices(table, px, py)
+    blocked = _blocked(table, iy, group, lane)
 
     one = jnp.asarray(1.0, px.dtype)
     zero = jnp.asarray(0.0, px.dtype)
     cost = jnp.where(oob | blocked, one, zero)
-    if len(shape) == 2 and shape[1] == LANES:
+    if native:
+        return cost
+    return cost.reshape(-1)[:total].reshape(shape)
+
+
+def same_geometry(a: RowIntervalTable, b: RowIntervalTable) -> bool:
+    """Whether two tables share origin/cell/extent (index math reusable)."""
+    return (
+        a.origin == b.origin
+        and a.cell_size == b.cell_size
+        and a.width == b.width
+        and a.height == b.height
+    )
+
+
+def interval_query_pair(
+    table_a: RowIntervalTable,
+    table_b: RowIntervalTable,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+) -> jnp.ndarray:
+    """``interval_query(a, ...) + interval_query(b, ...)`` in one pass.
+
+    For same-geometry tables (asserted) the round/clip/oob/group/lane
+    index math — ~18 vector ops per point — is computed once and shared
+    by both tables' slot loops.  Identical arithmetic to the two separate
+    queries, so results are bit-equal (asserted in tests/test_ops.py);
+    used by the MPCC stage cost where the obstacle and lane grids cover
+    the same raster.
+    """
+    assert same_geometry(table_a, table_b), (
+        "interval_query_pair requires same-geometry tables; query "
+        "separately otherwise"
+    )
+    px, py, shape, total, native = _to_lane_blocks(px, py)
+    oob, iy, group, lane = _query_indices(table_a, px, py)
+    blocked_a = _blocked(table_a, iy, group, lane)
+    blocked_b = _blocked(table_b, iy, group, lane)
+
+    one = jnp.asarray(1.0, px.dtype)
+    zero = jnp.asarray(0.0, px.dtype)
+    cost = jnp.where(oob | blocked_a, one, zero) + jnp.where(
+        oob | blocked_b, one, zero
+    )
+    if native:
         return cost
     return cost.reshape(-1)[:total].reshape(shape)

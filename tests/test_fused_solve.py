@@ -723,3 +723,32 @@ def test_resolve_fused_request_falls_back_loudly_off_tpu(capsys):
     assert capsys.readouterr().out == ""
     assert resolve_fused_request(True) is False
     assert "requires a TPU backend" in capsys.readouterr().out
+
+
+def test_interval_query_pair_bit_equals_separate():
+    """The shared-index dual query must be bit-equal to two separate
+    queries (same-geometry tables share round/clip/oob/group/lane)."""
+    from mppi_playground_tpu.ops.row_intervals import (
+        interval_query_pair,
+        same_geometry,
+    )
+
+    rng = np.random.default_rng(5)
+    origin = np.array([100, 80])
+    ga = (rng.random((200, 160)) < 0.15).astype(float)
+    gb = (rng.random((200, 160)) < 0.3).astype(float)
+    ta = build_row_interval_table(ga, origin, 0.1)
+    tb = build_row_interval_table(gb, origin, 0.1)
+    assert same_geometry(ta, tb)
+    pts = jax.random.uniform(jax.random.PRNGKey(9), (4096, 2), jnp.float32, -12, 12)
+    sep = jax.jit(
+        lambda p: interval_query(ta, p[:, 0], p[:, 1])
+        + interval_query(tb, p[:, 0], p[:, 1])
+    )(pts)
+    pair = jax.jit(lambda p: interval_query_pair(ta, tb, p[:, 0], p[:, 1]))(pts)
+    np.testing.assert_array_equal(np.asarray(sep), np.asarray(pair))
+
+    # mismatched geometry is rejected
+    tc = build_row_interval_table(gb, origin, 0.2)
+    with pytest.raises(AssertionError, match="same-geometry"):
+        interval_query_pair(ta, tc, pts[:, 0], pts[:, 1])
