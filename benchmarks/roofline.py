@@ -54,13 +54,15 @@ def count_per_sample() -> dict:
     # --- noise generation: d_flat normals via Box-Muller pairs ---
     pairs = (D_FLAT + 1) // 2
     prng_draws = 2 * pairs
-    bm_cheap = pairs * 9      # masks, int->float scale, theta mul, 2 muls
-    bm_transc = pairs * 4     # log, sqrt, cos, sin per pair
+    # masks, int->float scale, theta mul, 2 muls + polynomial sincos (~28)
+    bm_cheap = pairs * (9 + 28)
+    bm_transc = pairs * 2     # log, sqrt per pair (sin/cos are polynomial)
     pert_cheap = D_FLAT * 4   # sigma mul, mean add, 2-sided clip
 
     # --- bicycle dynamics per step (models/bicycle.py SoA) ---
-    dyn_cheap = 12 + 5 + 5 + 5 + 3 + 3  # 2x angle_normalize, tan-poly, x, y, th, v
-    dyn_transc = 2                      # cos(theta), sin(theta)
+    # 2x angle_normalize, tan poly, polynomial sincos (~28), x, y, th, v
+    dyn_cheap = 12 + 5 + 28 + 5 + 5 + 3 + 3
+    dyn_transc = 0            # heading sin/cos are polynomial (fastmath)
 
     # --- MPCC stage cost per step (models/racing_mpcc.py SoA) ---
     mpcc_terms = 26          # contouring/lag/velocity/input terms

@@ -16,6 +16,7 @@ from typing import Callable, Tuple
 import jax.numpy as jnp
 
 from mppi_playground_tpu.utils.angles import angle_normalize
+from mppi_playground_tpu.utils.fastmath import sincos_npi
 
 DIM_STATE = 4  # [x, y, theta, v]
 DIM_CONTROL = 2  # [accel, steer]
@@ -68,8 +69,11 @@ def make_dynamics_soa(
         accel = jnp.clip(us[0], u_min[0], u_max[0])
         steer = jnp.clip(us[1], u_min[1], u_max[1])
 
-        new_x = jnp.clip(x + v * jnp.cos(theta) * delta_t, x_lim[0], x_lim[1])
-        new_y = jnp.clip(y + v * jnp.sin(theta) * delta_t, y_lim[0], y_lim[1])
+        # polynomial sin/cos: theta was just normalized to [-pi, pi], the
+        # valid range; < 3e-7 of libm, two special-pipe ops saved per step
+        sin_t, cos_t = sincos_npi(theta)
+        new_x = jnp.clip(x + v * cos_t * delta_t, x_lim[0], x_lim[1])
+        new_y = jnp.clip(y + v * sin_t * delta_t, y_lim[0], y_lim[1])
         new_theta = angle_normalize(
             theta + v * _tan_small(steer) / wheelbase * delta_t
         )

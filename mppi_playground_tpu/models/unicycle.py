@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from mppi_playground_tpu.maps.grid_cost import map_query
 from mppi_playground_tpu.utils.angles import angle_normalize
+from mppi_playground_tpu.utils.fastmath import sincos_npi
 
 DIM_STATE = 3  # [x, y, theta]
 DIM_CONTROL = 2  # [v, omega]
@@ -41,8 +42,10 @@ def make_dynamics_soa(
         v = jnp.clip(us[0], u_min[0], u_max[0])
         omega = jnp.clip(us[1], u_min[1], u_max[1])
 
-        new_x = jnp.clip(x + v * jnp.cos(theta) * delta_t, x_lim[0], x_lim[1])
-        new_y = jnp.clip(y + v * jnp.sin(theta) * delta_t, y_lim[0], y_lim[1])
+        # polynomial sin/cos on the just-normalized heading (see bicycle)
+        sin_t, cos_t = sincos_npi(theta)
+        new_x = jnp.clip(x + v * cos_t * delta_t, x_lim[0], x_lim[1])
+        new_y = jnp.clip(y + v * sin_t * delta_t, y_lim[0], y_lim[1])
         new_theta = angle_normalize(theta + omega * delta_t)
         return (new_x, new_y, new_theta)
 

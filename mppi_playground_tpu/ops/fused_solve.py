@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mppi_playground_tpu.core.config import MPPIConfig
+from mppi_playground_tpu.utils.fastmath import sincos_2pi
 
 LANES = 128
 SUBLANES = 8
@@ -117,7 +118,10 @@ def _normal_pair(shape):
     """Two independent standard-normal vregs per Box–Muller transform.
 
     Using both the cos and sin branches halves the PRNG draws and the
-    log/sqrt transcendentals per normal.
+    log/sqrt transcendentals per normal; the sin/cos themselves are the
+    shared polynomial kernel (theta is uniform in [0, 2*pi) by
+    construction — exactly ``sincos_2pi``'s domain), leaving log and
+    sqrt as the pair's only special-pipe ops.
     """
     # prng_random_bits yields signed int32 vregs; mask to 24 uniform bits
     b1 = pltpu.prng_random_bits(shape) & 0xFFFFFF
@@ -126,8 +130,8 @@ def _normal_pair(shape):
     u1 = b1.astype(jnp.float32) * (2.0**-24) + (2.0**-25)
     u2 = b2.astype(jnp.float32) * (2.0**-24)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = _TWO_PI * u2
-    return r * jnp.cos(theta), r * jnp.sin(theta)
+    sin_t, cos_t = sincos_2pi(_TWO_PI * u2)
+    return r * cos_t, r * sin_t
 
 
 def fused_envelope(config) -> bool:
