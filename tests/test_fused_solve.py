@@ -752,3 +752,40 @@ def test_interval_query_pair_bit_equals_separate():
     tc = build_row_interval_table(gb, origin, 0.2)
     with pytest.raises(AssertionError, match="same-geometry"):
         interval_query_pair(ta, tc, pts[:, 0], pts[:, 1])
+
+
+def test_fused_multi_vreg_two_phase_and_top_samples():
+    """d_flat > 128 through the FULL auxiliary surface: two-phase ESSPS
+    (pert dump/read-back at the multi-vreg layout) and top_samples
+    (regen layout inversion) must match the XLA path."""
+    from mppi_playground_tpu.core import diagnostics
+
+    horizon = 72  # d_flat = 144: spans two sublanes of the numer tile
+    cfg_f = _config(horizon=horizon, num_samples=1024, lambda_="ESSPS")
+    cfg_x = _config(
+        horizon=horizon, num_samples=1024, lambda_="ESSPS",
+        store_rollouts=True,
+    )
+    task = _toy_task()
+    dyn, cost = _toy_aos()
+    fused = make_fused_solver(cfg_f, task, dyn, jit=True, donate_state=False)
+    xla = make_solver(cfg_x, dyn, cost, jit=True, donate_state=False)
+    x0 = jnp.asarray([0.1, 0.2], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(41), (1024, horizon, 1), jnp.float32)
+        * 0.7
+    )
+    info = {"target": jnp.ones((horizon, 1), jnp.float32) * 2.0}
+    rf = fused.solve(fused.init(), x0, info=info, noise=noise)
+    rx = xla.solve(xla.init(), x0, info=info, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(rf.aux.costs), np.asarray(rx.aux.costs), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(rf.aux.lam), float(rx.aux.lam), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
+    )
+    seqs_f, w_f = fused.top_samples(rf.aux, 16, noise=noise)
+    seqs_x, w_x = diagnostics.top_samples(rx.aux.state_seq_batch, rx.aux.weights, 16)
+    np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(seqs_f), np.asarray(seqs_x), atol=5e-3)
