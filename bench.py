@@ -203,7 +203,7 @@ def main() -> None:
         try:
             sync_probes.append(measure_sync_floor())
         except Exception as exc:  # noqa: BLE001 — probe is advisory
-            extra["tunnel_sync_note"] = f"pre-probe failed: {type(exc).__name__}"
+            extra["tunnel_sync_pre_note"] = f"pre-probe failed: {type(exc).__name__}"
         try:
             synced, _ = measure_host_driven(
                 env, solver, tick, 3, ITERS, sync_every_tick=True
@@ -214,7 +214,7 @@ def main() -> None:
         try:
             sync_probes.append(measure_sync_floor())
         except Exception as exc:  # noqa: BLE001 — probe is advisory
-            extra["tunnel_sync_note"] = f"post-probe failed: {type(exc).__name__}"
+            extra["tunnel_sync_post_note"] = f"post-probe failed: {type(exc).__name__}"
         if sync_probes:
             extra["tunnel_sync_ms"] = round(statistics.median(sync_probes), 3)
             extra["tunnel_sync_ms_probes"] = [round(p, 3) for p in sync_probes]

@@ -142,8 +142,15 @@ def make_fused_solver(
             # the cost vector fits (ops/lambda_search.py): one 400 KB HBM
             # read instead of ~75 MB of per-iteration re-reads at flagship
             # scale.  Same arithmetic; equivalence in tests/test_autolambda.py.
+            # NOT on sharded cores: a Pallas call has no GSPMD partitioning
+            # rule, so it would force an all-gather of the sample-sharded
+            # [K] costs every tick — the partitionable XLA loops keep the
+            # sharded path's O(T*m) collective budget.
+            lambda_kernel_ok = not getattr(
+                solve_core, "is_sharded", False
+            ) and lambda_search_supported(config.num_samples)
             if auto == "LBPS":
-                if lambda_search_supported(config.num_samples):
+                if lambda_kernel_ok:
                     lam = lbps_lambda_fused(
                         costs, config.lbps_delta, config.lambda_min,
                         config.lambda_max, iters=config.lbps_iters,
@@ -155,7 +162,7 @@ def make_fused_solver(
                         config.lambda_max, iters=config.lbps_iters,
                     )
             else:
-                if lambda_search_supported(config.num_samples):
+                if lambda_kernel_ok:
                     lam = essps_lambda_fused(
                         costs, config.target_ess, config.lambda_min,
                         config.lambda_max, iters=config.essps_iters,

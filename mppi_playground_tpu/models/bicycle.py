@@ -63,6 +63,13 @@ def make_dynamics_soa(
     array-of-structs wrapper below keeps the reference call signature.
     """
 
+    # the degree-7 polynomial's <1e-7 accuracy holds only on the small
+    # steering range the reference clamps to; custom wider bounds (legal
+    # through the public make_dynamics API) keep the true tan (a
+    # build-time choice — both solver paths still trace one function)
+    steer_bound = max(abs(float(u_min[1])), abs(float(u_max[1])))
+    tan_fn = _tan_small if steer_bound <= 0.3 else jnp.tan
+
     def dynamics_soa(xs, us):
         x, y, theta, v = xs
         theta = angle_normalize(theta)
@@ -75,7 +82,7 @@ def make_dynamics_soa(
         new_x = jnp.clip(x + v * cos_t * delta_t, x_lim[0], x_lim[1])
         new_y = jnp.clip(y + v * sin_t * delta_t, y_lim[0], y_lim[1])
         new_theta = angle_normalize(
-            theta + v * _tan_small(steer) / wheelbase * delta_t
+            theta + v * tan_fn(steer) / wheelbase * delta_t
         )
         new_v = jnp.clip(v + accel * delta_t, -v_max, v_max)
         return (new_x, new_y, new_theta, new_v)

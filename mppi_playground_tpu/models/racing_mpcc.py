@@ -137,7 +137,7 @@ def make_mpcc_cost_soa(
         if same_geometry(obstacle_table, lane_table):
             # racing's grids share the raster: one shared index
             # computation feeds both tables' slot loops (bit-equal to
-            # the two separate queries — tests/test_ops.py)
+            # the two separate queries — tests/test_fused_solve.py)
             map_cost = interval_query_pair(obstacle_table, lane_table, x, y)
         else:
             map_cost = interval_query(obstacle_table, x, y) + interval_query(

@@ -135,7 +135,16 @@ def _normal_pair(shape):
 
 
 def fused_envelope(config) -> bool:
-    """Whether a config fits the fused kernel (single source of truth)."""
+    """Whether a config fits the fused kernel (single source of truth).
+
+    The full range is hardware-verified, not just gated: the fused solve
+    compiles and runs on a v5e at d_flat = horizon*dim_control of 256 /
+    512 / 1024 on the fixed-lambda path AND the two-phase ESSPS path
+    (whose pert dump adds a [d_flat, 8, 128] VMEM block), and the racing
+    task with VMEM map tables at d_flat = 200 (RUNALL_r3.jsonl); VMEM
+    headroom at 1024 is ~4 MB of pert slots + ~4 MB dump block, inside
+    the ~16 MB/core budget.
+    """
     return (
         config.horizon * config.dim_control <= SUBLANES * LANES
         # make_fused_reroll packs the state into vreg lanes (build-time
@@ -250,7 +259,9 @@ def make_fused_solve(
         interpret = not fused_supported()
     if tile_sublanes is None:
         tile_sublanes = SUBLANES
-    assert tile_sublanes % SUBLANES == 0, "tile height must be whole vregs"
+    assert tile_sublanes >= SUBLANES and tile_sublanes % SUBLANES == 0, (
+        "tile height must be a positive whole number of 8-sublane vregs"
+    )
     S = tile_sublanes
     tile = S * LANES
     horizon = config.horizon
@@ -274,7 +285,8 @@ def make_fused_solve(
     num_local = num_samples if local_num_samples is None else local_num_samples
     if local_num_samples is not None:
         assert local_num_samples % tile == 0, (
-            "sharded fused solve needs num_samples divisible by 1024 * n_shards"
+            f"sharded fused solve needs num_samples divisible by "
+            f"{tile} * n_shards (tile = tile_sublanes * 128)"
         )
     num_tiles = -(-num_local // tile)
     k_pad = num_tiles * tile

@@ -50,12 +50,17 @@ def _pad_costs(costs: jnp.ndarray) -> jnp.ndarray:
     return costs.reshape(k_pad // LANES, LANES).astype(jnp.float32)
 
 
+def _ess_terms_from_exp(e):
+    """(z, sum e^2) softmin partials from pre-shifted exponentials."""
+    return jnp.sum(e), jnp.sum(e * e)
+
+
 def _ess_terms(c, lam):
     """(z, sum e^2) of softmax(-c/lam) partials at running max (in VMEM)."""
     s = c * (-1.0 / lam)
     m = jnp.max(s)
     e = jnp.exp(s - m)
-    return jnp.sum(e), jnp.sum(e * e)
+    return _ess_terms_from_exp(e)
 
 
 def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
@@ -107,12 +112,14 @@ def _lbps_kernel(params_ref, costs_ref, nreal_ref, out_ref, *, iters: int):
 
     def objective(lam):
         # negated LBPS lower bound (mppi.py:534-557), identical arithmetic
-        # to core.autolambda.lbps_objective up to the softmax formulation
+        # to core.autolambda.lbps_objective up to the softmax formulation;
+        # z and sum(e^2) come from the shared _ess_terms partials, plus
+        # one extra weighted-cost reduction
         s = c * (-1.0 / lam)
         m = jnp.max(s)
         e = jnp.exp(s - m)
-        z = jnp.sum(e)
-        ess = (z * z) / jnp.sum(e * e)
+        z, sq = _ess_terms_from_exp(e)
+        ess = (z * z) / sq
         expected_return = -jnp.sum(e * c) / z
         return -(expected_return - range_pen / jnp.sqrt(ess))
 

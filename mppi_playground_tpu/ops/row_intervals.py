@@ -208,7 +208,8 @@ def interval_query_pair(
     For same-geometry tables (asserted) the round/clip/oob/group/lane
     index math — ~18 vector ops per point — is computed once and shared
     by both tables' slot loops.  Identical arithmetic to the two separate
-    queries, so results are bit-equal (asserted in tests/test_ops.py);
+    queries, so results are bit-equal (asserted in
+    tests/test_fused_solve.py);
     used by the MPCC stage cost where the obstacle and lane grids cover
     the same raster.
     """

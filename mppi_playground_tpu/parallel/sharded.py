@@ -350,6 +350,10 @@ def make_sharded_fused_solver(
     sharded_core.run_regen = sharded_run_regen
     sharded_core.combine_partials = core.combine_partials
     sharded_core.supports_pert_dump = True
+    # the facade must NOT put a Pallas lambda-search kernel (no GSPMD
+    # partitioning rule) on this core's sample-sharded costs — it would
+    # all-gather [K] every tick; the XLA loops partition into psums
+    sharded_core.is_sharded = True
 
     # the facade supplies init / SG filter / prediction / warm-start
     # semantics around the shard_map'd kernel core

@@ -151,3 +151,28 @@ def test_fused_model_matches_xla(name, nav_env, racing_env):
     np.testing.assert_allclose(
         np.asarray(rf.action_seq), np.asarray(rx.action_seq), atol=5e-3
     )
+
+
+def test_bicycle_wide_steering_keeps_true_tan():
+    """The degree-7 tan polynomial is only valid on the reference's small
+    steering clamp; custom wide bounds (legal via the public API) must
+    fall back to the true tan instead of silently diverging."""
+    import numpy as np
+
+    from mppi_playground_tpu.models.bicycle import make_dynamics
+
+    wide = make_dynamics(
+        x_lim=(-100.0, 100.0), y_lim=(-100.0, 100.0),
+        u_min=(-2.0, -1.2), u_max=(2.0, 1.2),
+    )
+    x = jnp.asarray([[0.0, 0.0, 0.0, 4.0]], jnp.float32)
+    u = jnp.asarray([[0.0, 1.2]], jnp.float32)
+    got = float(wide(x, u)[0, 2])  # new theta
+    expected = 4.0 * float(np.tan(1.2)) * 0.1  # v * tan(steer) / L * dt
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    # the default clamp still takes the polynomial (same value to 1e-7)
+    narrow = make_dynamics(x_lim=(-100.0, 100.0), y_lim=(-100.0, 100.0))
+    u = jnp.asarray([[0.0, 0.25]], jnp.float32)
+    got = float(narrow(x, u)[0, 2])
+    np.testing.assert_allclose(got, 4.0 * float(np.tan(0.25)) * 0.1, rtol=1e-6)
