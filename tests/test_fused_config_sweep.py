@@ -65,6 +65,8 @@ CASES = [
     ("essps-exploration", 8, 2, 1, 2048, "ESSPS", 0.25, False),
     ("lbps-sg-odd-dims", 5, 4, 3, 1024, "LBPS", 0.0, True),
     ("mpo-padded-k", 10, 2, 2, 1536, "MPO", 0.5, False),
+    # d_flat > 128: multi-vreg numer packing with auto-lambda + SG
+    ("essps-multi-vreg", 50, 3, 3, 1024, "ESSPS", 0.0, True),
 ]
 
 
