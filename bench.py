@@ -233,7 +233,7 @@ def main() -> None:
 
             out = subprocess.run(
                 [sys.executable, "benchmarks/fleet.py", "--batch", "8"],
-                capture_output=True, text=True, timeout=420, cwd=_REPO,
+                capture_output=True, text=True, timeout=600, cwd=_REPO,
             )
             lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
             if lines:
@@ -242,6 +242,33 @@ def main() -> None:
                 extra["fleet_note"] = f"fleet bench produced no output (rc={out.returncode})"
         except Exception as exc:  # noqa: BLE001 — headline must survive
             extra["fleet_note"] = f"fleet bench failed: {type(exc).__name__}"
+        # device-side truth: the scanned kernel/tick times (isolated
+        # dispatches through the tunnel are host-marshaling bound, so the
+        # headline host-driven number understates the device; see
+        # benchmarks/kernel_fraction.py)
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable, "benchmarks/kernel_fraction.py"],
+                capture_output=True, text=True, timeout=900, cwd=_REPO,
+            )
+            for ln in out.stdout.splitlines():
+                if not ln.startswith("{"):
+                    continue
+                d = json.loads(ln)
+                if d.get("metric") == "flagship_kernel_fraction":
+                    extra["device_kernel_fraction"] = d["value"]
+                    extra["device_kernel_ms"] = d["extra"]["kernel_ms"]
+                    extra["device_tick_ms"] = d["extra"]["tick_ms"]
+                    extra["device_essps_tick_ms"] = d["extra"]["essps_tick_ms"]
+            if "device_tick_ms" not in extra:
+                extra["device_note"] = (
+                    f"kernel-fraction bench produced no summary "
+                    f"(rc={out.returncode})"
+                )
+        except Exception as exc:  # noqa: BLE001 — headline must survive
+            extra["device_note"] = f"kernel-fraction bench failed: {type(exc).__name__}"
     result = {
         "metric": f"racing_mppi_solves_per_s_h{HORIZON}_k{NUM_SAMPLES}",
         "value": round(solves_per_s, 3),
