@@ -96,10 +96,12 @@ def bench_workload(name, horizon, k, dim_state, dim_control, dynamics, cost,
         x0 = jnp.zeros(dim_state)
 
     solver = make_solver(config, dynamics, cost, jit=False)
-    tick = jax.jit(lambda s, x: (lambda r: (r.action_seq, r.state))(
-        solver.solve(s, x)))
+    # the XLA row returns the FULL SolveResult (incl. [K] aux outputs),
+    # matching the round-2 methodology so rows compare across rounds;
+    # the fused row below returns the serving outputs (aux DCE'd)
+    tick = jax.jit(lambda s, x: solver.solve(s, x))
     dt = _time_tick(tick, solver.init(), x0)
-    _report(name, horizon, k, dt, path="xla")
+    _report(name, horizon, k, dt, path="xla", outputs="full SolveResult")
 
     if fused_task is None or not _fused_on():
         return
@@ -108,7 +110,8 @@ def bench_workload(name, horizon, k, dim_state, dim_control, dynamics, cost,
     ftick = jax.jit(lambda s, x: (lambda r: (r.action_seq, r.state))(
         fused.solve(s, x)))
     dt = _time_tick(ftick, fused.init(), x0)
-    _report(f"{name}_fused", horizon, k, dt, path="fused")
+    _report(f"{name}_fused", horizon, k, dt, path="fused",
+            outputs="action_seq,state (aux DCE'd — serving outputs)")
 
     if not episode:
         return

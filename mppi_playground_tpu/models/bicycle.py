@@ -68,7 +68,9 @@ def make_dynamics_soa(
     # through the public make_dynamics API) keep the true tan (a
     # build-time choice — both solver paths still trace one function)
     steer_bound = max(abs(float(u_min[1])), abs(float(u_max[1])))
-    tan_fn = _tan_small if steer_bound <= 0.3 else jnp.tan
+    # 0.25 is the documented accuracy contract (reference clamp); the
+    # epsilon only absorbs float representation of the bound itself
+    tan_fn = _tan_small if steer_bound <= 0.25 + 1e-6 else jnp.tan
 
     def dynamics_soa(xs, us):
         x, y, theta, v = xs

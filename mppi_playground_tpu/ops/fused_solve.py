@@ -382,7 +382,7 @@ def make_fused_solve(
                 z1, z2 = _normal_pair((S, LANES))
                 zs.append(z1)
                 zs.append(z2)
-        pert = []  # [T][m] arrays of [8,128]
+        pert = []  # [T][m] arrays of [S,128]
         for t in range(horizon):
             row = []
             for j in range(dim_control):
@@ -490,7 +490,8 @@ def make_fused_solve(
         """Inject external noise: [K_local, T, m] -> [T*m, K_pad/128, 128].
 
         Shared by the full and weighted-only launches so the phase-1/2
-        noise layouts can never diverge; tile i reads sublane rows 8i..8i+8.
+        noise layouts can never diverge; tile i reads sublane rows
+        S*i..S*(i+1) (block height = tile_sublanes).
         """
         nz = jnp.asarray(noise, jnp.float32).reshape(num_local, d_flat)
         if k_pad > num_local:

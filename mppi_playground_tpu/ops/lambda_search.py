@@ -26,12 +26,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
-SUBLANES = 8
-_TILE = SUBLANES * LANES
-# [rows, 128] f32 costs must fit in VMEM with headroom for the scratch
-# vregs of the reduction tree (~16 MB/core on v5e/v5p).
-_MAX_K = 2 * 1024 * 1024
+# tile geometry shared with the fused solve kernel (single source)
+from mppi_playground_tpu.ops.fused_solve import LANES, TILE as _TILE
+
+# The kernel holds the padded [rows, 128] costs plus two [K]-shaped f32
+# temporaries per ESS evaluation (s and e) in VMEM: peak ~3 * 4 * K bytes
+# of the ~16 MB/core budget.  K = 1M (12 MB peak) is hardware-verified on
+# a v5e (RUNALL_r3.jsonl: racing_1m_essps runs through this kernel);
+# beyond it the partitionable XLA loops take over.
+_MAX_K = 1024 * 1024
 
 
 def lambda_search_supported(num_samples: int) -> bool:
@@ -40,7 +43,12 @@ def lambda_search_supported(num_samples: int) -> bool:
 
 
 def _pad_costs(costs: jnp.ndarray) -> jnp.ndarray:
-    """Pad [K] -> [rows, 128] with +1e30 (exp underflows to exactly 0)."""
+    """Pad [K] -> [rows, 128] with +1e30.
+
+    The sentinel matches the fused solve kernel's cost padding
+    (``ops/fused_solve.py``): ``exp(-1e30/lam - m)`` underflows to
+    exactly 0, so padding never contributes to any softmin reduction.
+    """
     k = costs.shape[0]
     k_pad = -(-k // _TILE) * _TILE
     if k_pad > k:
@@ -93,22 +101,16 @@ def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     )
 
 
-def _lbps_kernel(params_ref, costs_ref, nreal_ref, out_ref, *, iters: int):
-    # params: [lam_min, lam_max, delta]; nreal: unpadded K for the mask
+def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
+    # params: [lam_min, lam_max, delta, range_pen] — the cost-range
+    # penalty term is computed OUTSIDE the kernel (a single XLA max/min
+    # over the unpadded [K] costs): the padding sentinel (+1e30) would
+    # pollute an in-kernel max, and masking it needed two [K]-shaped
+    # int32 iotas of pure VMEM overhead
     c = costs_ref[:, :]
     lam_min = params_ref[0]
     lam_max = params_ref[1]
-    delta = params_ref[2]
-    n_real = nreal_ref[0]
-
-    # padding rows carry +1e30: mask them out of the max/min cost range
-    # (sum terms are immune — their exp underflows to zero)
-    lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
-    real = row * LANES + lane < n_real
-    c_max = jnp.max(jnp.where(real, c, -jnp.inf))
-    c_min = jnp.min(jnp.where(real, c, jnp.inf))
-    range_pen = (c_max - c_min) * jnp.sqrt((1.0 - delta) / delta)
+    range_pen = params_ref[3]
 
     def objective(lam):
         # negated LBPS lower bound (mppi.py:534-557), identical arithmetic
@@ -190,17 +192,28 @@ def lbps_lambda_fused(
     """VMEM-resident LBPS golden-section; same result as ``lbps_lambda``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    params = jnp.asarray([lambda_min, lambda_max, delta], jnp.float32)
-    nreal = jnp.asarray([costs.shape[0]], jnp.int32)
+    c32 = costs.astype(jnp.float32)
+    # cost-range term over the UNPADDED costs, outside the kernel (one
+    # cheap XLA pass; see _lbps_kernel comment)
+    range_pen = (jnp.max(c32) - jnp.min(c32)) * jnp.sqrt(
+        jnp.asarray((1.0 - delta) / delta, jnp.float32)
+    )
+    params = jnp.stack(
+        [
+            jnp.asarray(lambda_min, jnp.float32),
+            jnp.asarray(lambda_max, jnp.float32),
+            jnp.asarray(delta, jnp.float32),
+            range_pen,
+        ]
+    )
     out = pl.pallas_call(
         functools.partial(_lbps_kernel, iters=iters),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
         interpret=interpret,
-    )(params, _pad_costs(costs), nreal)
+    )(params, _pad_costs(costs))
     return out[0].astype(costs.dtype)
