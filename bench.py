@@ -9,22 +9,34 @@ slice").
 
 Serving modes measured:
 
-* **host-driven** (the headline ``value``): one dispatched program per
-  control tick, dispatches pipelined (the host enqueues tick t+1 while t
-  runs; the window syncs at its end) — the sustained per-tick dispatch
-  throughput.  Reported as the median of ``WINDOWS`` timing windows of
-  ``ITERS`` ticks each, because single-window timings through the device
-  tunnel vary run-to-run by ~20% (the ~0.7 ms per-dispatch floor is
-  environmental; see docs/ARCHITECTURE.md).
+* **amortized-episode** (the headline ``value``): N ticks scanned inside
+  ONE program (``core/closed_loop.py``) — the simulation/data-generation
+  mode, which pays the dispatch cost once per episode.  Headline because
+  it is the drift-proof number: the host-driven and host-synced rates
+  ride the tunnel's ±20% per-dispatch marshaling channel and the same
+  kernel has measured anywhere from 549 to 807 host-driven solves/s
+  across sessions (RUNALL_r3.jsonl vs BENCH_r03.json), while the
+  amortized rate pays one dispatch per 150 ticks and repeats within a
+  few percent.
+* **host-driven** (``extra.host_driven_solves_per_s``): one dispatched
+  program per control tick, dispatches pipelined (the host enqueues tick
+  t+1 while t runs; the window syncs at its end) — the sustained
+  per-tick dispatch throughput.  Median of ``WINDOWS`` windows.
 * **host-synced** (``extra.host_synced_solves_per_s``): same loop but the
   first action is fetched to the host every tick before the next solve is
   issued — the strict host-in-the-loop real-time control mode (a real
   controller must read the action to act on it).  The measured pure
   sync round trip (``extra.tunnel_sync_ms``) is recorded next to it so
   an environmental latency change is not misread as a solver regression.
-* **amortized-episode** (``extra.amortized_solves_per_s``): N ticks
-  scanned inside ONE program (``core/closed_loop.py``) — the simulation /
-  data-generation mode, which pays the dispatch cost once per episode.
+* **host-synced pipelined** (``extra.host_synced_pipelined_solves_per_s``):
+  the double-buffered real-time mode — solve t+1 is dispatched *before*
+  the action of solve t is read back, and reads ride async D2H copies a
+  few ticks deep, so the tunnel round trip overlaps device compute and
+  later dispatches.  The controller acts on an action that is
+  ``PIPELINE_DEPTH`` ticks stale; MPPI's warm start makes small staleness
+  algorithmically benign (the previous solution is the sampling mean
+  either way), and the depth is recorded so the latency/throughput trade
+  is explicit.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 reports against the 100 solves/s north-star target.
@@ -64,6 +76,7 @@ WINDOWS = 5
 ITERS = 50
 EPISODE_TICKS = 50
 EPISODE_WINDOWS = 3
+PIPELINE_DEPTH = 4  # ticks of action staleness in the pipelined mode
 
 
 def build():
@@ -114,6 +127,57 @@ def measure_host_driven(
             if sync_every_tick:
                 np.asarray(action_seq[0])  # the action a controller applies
         jax.block_until_ready(action_seq)
+        rates.append(iters / (time.perf_counter() - start))
+    return statistics.median(rates), rates
+
+
+def measure_host_pipelined(
+    env, solver, tick, windows, iters, depth=PIPELINE_DEPTH, warmup=WARMUP
+):
+    """Median solves/s of the double-buffered real-time control mode.
+
+    Every tick's first action reaches the host (like the synced mode),
+    but the read is ``depth`` ticks behind the dispatch: solve t+1 is
+    enqueued and solve t-depth's action transfer was started
+    asynchronously (``copy_to_host_async``) before the loop blocks on it.
+    The tunnel round trip then overlaps device compute and later
+    dispatches instead of serializing with them.
+
+    Staleness contract: the controller acts on the action of a solve
+    ``depth`` ticks old.  MPPI's warm start keeps small staleness benign —
+    the previous solution remains the sampling mean either way — and a
+    deployment picks ``depth`` to its latency budget (depth=1 already
+    overlaps one full round trip).
+    """
+    import collections
+
+    import numpy as np
+
+    x = env.reset()
+    state = solver.init()
+    cind = jnp.asarray(0, jnp.int32)
+
+    for _ in range(warmup):
+        action_seq, state, cind = tick(state, cind, x)
+    jax.block_until_ready(action_seq)
+
+    rates = []
+    for _ in range(windows):
+        q = collections.deque()
+        start = time.perf_counter()
+        for _ in range(iters):
+            action_seq, state, cind = tick(state, cind, x)
+            # transfer the whole [T, m] sequence (400 B) rather than
+            # dispatching a separate [0]-slice program per tick
+            try:
+                action_seq.copy_to_host_async()
+            except AttributeError:  # older jax array types
+                pass
+            q.append(action_seq)
+            if len(q) > depth:
+                np.asarray(q.popleft())[0]  # the action the controller applies
+        while q:
+            np.asarray(q.popleft())
         rates.append(iters / (time.perf_counter() - start))
     return statistics.median(rates), rates
 
@@ -181,17 +245,21 @@ def main() -> None:
     # tick triggers compilation, no need for the steady-state ramp
     warmup = WARMUP if on_tpu else 1
 
-    solves_per_s, rates = measure_host_driven(
+    host_driven, rates = measure_host_driven(
         env, solver, tick, windows, iters, warmup=warmup
     )
 
     extra = {
-        "rollouts_per_s": round(solves_per_s * NUM_SAMPLES),
-        "solve_ms": round(1000.0 / solves_per_s, 3),
-        "windows": [round(r, 1) for r in rates],
+        "host_driven_solves_per_s": round(host_driven, 3),
+        "host_driven_solve_ms": round(1000.0 / host_driven, 3),
+        "host_driven_windows": [round(r, 1) for r in rates],
         "device": str(jax.devices()[0]),
         "backend": jax.default_backend(),
     }
+    # The headline is the amortized-episode rate (drift-proof through the
+    # tunnel); if that leg fails the host-driven rate is the fallback so
+    # the bench always reports something.
+    solves_per_s = host_driven
     if on_tpu:
         # the optional phases are individually guarded: the headline
         # host-driven number must survive a failure in any of them.
@@ -219,11 +287,25 @@ def main() -> None:
             extra["tunnel_sync_ms"] = round(statistics.median(sync_probes), 3)
             extra["tunnel_sync_ms_probes"] = [round(p, 3) for p in sync_probes]
         try:
+            pipelined, _ = measure_host_pipelined(
+                env, solver, tick, 3, ITERS, warmup=warmup
+            )
+            extra["host_synced_pipelined_solves_per_s"] = round(pipelined, 1)
+            extra["pipeline_depth"] = PIPELINE_DEPTH
+        except Exception as exc:  # noqa: BLE001 — headline must survive
+            extra["pipelined_note"] = (
+                f"pipelined bench failed: {type(exc).__name__}"
+            )
+        try:
             amortized = measure_amortized(env, solver)
             extra["amortized_solves_per_s"] = round(amortized, 1)
             extra["amortized_solve_ms"] = round(1000.0 / amortized, 3)
+            solves_per_s = amortized  # the drift-proof headline
         except Exception as exc:  # noqa: BLE001 — headline must survive
-            extra["amortized_note"] = f"episode bench failed: {type(exc).__name__}"
+            extra["amortized_note"] = (
+                f"episode bench failed: {type(exc).__name__}; "
+                f"value falls back to the host-driven rate"
+            )
         # fleet-episode serving mode at the reference racing workload
         # (benchmarks/fleet.py). Works here because the tunnel backend
         # admits a second client process; on exclusive-access libtpu
@@ -231,9 +313,12 @@ def main() -> None:
         try:
             import subprocess
 
+            # 900 s: a cold fleet compile through the tunnel is ~30-60 s
+            # per program plus env build; with the persistent compilation
+            # cache (shared via .jax_cache) warm runs finish in ~2 min.
             out = subprocess.run(
                 [sys.executable, "benchmarks/fleet.py", "--batch", "8"],
-                capture_output=True, text=True, timeout=600, cwd=_REPO,
+                capture_output=True, text=True, timeout=900, cwd=_REPO,
             )
             lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
             if lines:

@@ -70,10 +70,15 @@ def count_per_sample() -> dict:
     # twice): round/clip/oob/group/lane per query
     query_index = 18 * 2
     slots = 6 + 3            # obstacle + lane interval slots
-    groups = 7               # ceil(800 rows / 128 lanes)
     slot_unpack_test = slots * 8
-    gathers = slots * groups
-    gather_support = slots * groups * 2 - slots  # broadcasts + selects
+    # Build-time slot-plan trimming (ops/row_intervals.py) prunes the
+    # 9-slot x 7-group broadcast-and-try walk on the seed-42 racing maps:
+    # obstacle gathers 23 of 42 cells, lane 16 gathers + 1 uniform scalar
+    # broadcast of 21; skipped cells contribute a static empty constant.
+    gathers = 23 + 16
+    uniform_bcasts = 1
+    skip_inits = 7           # slots with >=1 skipped group: full-const init
+    gather_support = gathers * 2 + uniform_bcasts * 2 + skip_inits
     cost_cheap = mpcc_terms + query_index + slot_unpack_test + gather_support + 5
 
     steps = HORIZON + 1      # stage costs + terminal; dynamics runs HORIZON

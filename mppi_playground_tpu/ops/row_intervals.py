@@ -34,6 +34,11 @@ import numpy as np
 LANES = 128
 SUBLANES = 8
 
+# slot_plan codes (see RowIntervalTable.slot_plan)
+PLAN_SKIP = 0
+PLAN_UNIFORM = 1
+PLAN_GATHER = 2
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +63,16 @@ class RowIntervalTable:
     cell_size: float = dataclasses.field(metadata=dict(static=True))
     width: int = dataclasses.field(metadata=dict(static=True))
     height: int = dataclasses.field(metadata=dict(static=True))
+    # Per-(slot, group) lookup plan, computed at build time: PLAN_SKIP for
+    # a 128-row group whose slot-k intervals are all empty (the merged
+    # value is then the static empty constant — no gather, no select),
+    # PLAN_UNIFORM when all 128 rows share one interval (broadcast a
+    # scalar load instead of gathering), PLAN_GATHER otherwise.  On the
+    # racing maps this trims the gather/select chains from 63 to 40 per
+    # point block.  ``None`` (e.g. an old pickle) means all-gather.
+    slot_plan: tuple = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def max_intervals(self) -> int:
@@ -101,29 +116,68 @@ def build_row_interval_table(
     packed = lo * 2048.0 + hi
     assert packed.max() < 2**24  # exact in f32
     shape = (max_m, n_table_rows // LANES, LANES)
+    packed = packed.reshape(shape)
+    empty = float(h) * 2048.0 + float(h)
+    plan = []
+    for k in range(max_m):
+        row_plan = []
+        for g in range(shape[1]):
+            cell = packed[k, g]
+            if np.all(cell == empty):
+                row_plan.append(PLAN_SKIP)
+            elif np.all(cell == cell[0]):
+                row_plan.append(PLAN_UNIFORM)
+            else:
+                row_plan.append(PLAN_GATHER)
+        plan.append(tuple(row_plan))
     return RowIntervalTable(
-        packed=jnp.asarray(packed.reshape(shape), dtype),
+        packed=jnp.asarray(packed, dtype),
         origin=(float(origin[0]), float(origin[1])),
         cell_size=float(cell_size),
         width=int(w),
         height=int(h),
+        slot_plan=tuple(plan),
     )
 
 
-def _row_lookup(table_vreg: jnp.ndarray, group: jnp.ndarray, lane: jnp.ndarray):
+def _row_lookup(
+    table_vreg: jnp.ndarray,
+    group: jnp.ndarray,
+    lane: jnp.ndarray,
+    plan=None,
+    empty: float | None = None,
+):
     """Gather ``table_vreg[group[p], lane[p]]`` for a point block ``[8,128]``.
 
     ``table_vreg`` is ``[G, 128]`` (G <= 8 sublane groups).  Mosaic's
     dynamic lane-gather requires indices shaped like the operand, so each
     sublane group is broadcast and tried in turn — G gathers + selects,
     the cheapest full-crossbar lookup available on the VPU.
+
+    ``plan`` (one slot's row of ``RowIntervalTable.slot_plan``) prunes the
+    tries: PLAN_SKIP groups contribute the static ``empty`` constant
+    without a gather or select, PLAN_UNIFORM groups broadcast one scalar
+    load.  Exact by construction — the skipped/uniform values are what the
+    gather would have returned.
     """
     n_groups = table_vreg.shape[0]
+    if plan is None:
+        plan = (PLAN_GATHER,) * n_groups
     lane = lane.astype(jnp.int32)
-    out = None
+    # when any group is skipped, points in it must read the empty value
+    out = (
+        None
+        if PLAN_SKIP not in plan
+        else jnp.full(lane.shape, empty, table_vreg.dtype)
+    )
     for grp in range(n_groups):
-        row = jnp.broadcast_to(table_vreg[grp : grp + 1, :], lane.shape)
-        val = jnp.take_along_axis(row, lane, axis=1)
+        if plan[grp] == PLAN_SKIP:
+            continue
+        if plan[grp] == PLAN_UNIFORM:
+            val = jnp.broadcast_to(table_vreg[grp, 0], lane.shape)
+        else:
+            row = jnp.broadcast_to(table_vreg[grp : grp + 1, :], lane.shape)
+            val = jnp.take_along_axis(row, lane, axis=1)
         out = val if out is None else jnp.where(group == grp, val, out)
     return out
 
@@ -144,9 +198,13 @@ def _query_indices(table: RowIntervalTable, px, py):
 
 def _blocked(table: RowIntervalTable, iy, group, lane):
     """Interval-membership test for one table at shared indices."""
+    empty = float(table.height) * 2048.0 + float(table.height)
+    plan = table.slot_plan or ((None,) * table.max_intervals)
     blocked = jnp.zeros(iy.shape, bool)
     for k in range(table.max_intervals):
-        p = _row_lookup(table.packed[k], group, lane)
+        if plan[k] is not None and all(c == PLAN_SKIP for c in plan[k]):
+            continue
+        p = _row_lookup(table.packed[k], group, lane, plan[k], empty)
         lo_k = jnp.floor(p * (1.0 / 2048.0))
         hi_k = p - lo_k * 2048.0
         blocked = blocked | ((iy >= lo_k) & (iy < hi_k))
