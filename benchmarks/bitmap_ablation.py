@@ -256,14 +256,29 @@ def main() -> None:
             (costs,) = core.run_kernel(x0, prev, lam, sd, smem, costs_only=True)
             return costs
 
-        ms = _time_scan(call, seed)
+        try:
+            ms = _time_scan(call, seed)
+        except Exception as exc:  # noqa: BLE001 — a variant that cannot
+            # compile (e.g. the dense lane bitmap's 173-cell walk blows the
+            # 16 MB scoped-VMEM limit) is itself an ablation result
+            msg = str(exc)
+            results[name] = (
+                "vmem_oom" if "vmem" in msg.lower() else type(exc).__name__
+            )
+            print(json.dumps({"metric": f"bitmap_ablate_{name}_ms",
+                              "value": None, "unit": "ms",
+                              "vs_baseline": None,
+                              "extra": {"failed": results[name]}}))
+            continue
         results[name] = round(ms, 4)
         print(json.dumps({"metric": f"bitmap_ablate_{name}_ms",
                           "value": results[name], "unit": "ms",
                           "vs_baseline": None, "extra": {}}))
 
+    bb = results.get("bitmap_both")
     print(json.dumps({
-        "metric": "bitmap_ablate_summary", "value": results.get("bitmap_both"),
+        "metric": "bitmap_ablate_summary",
+        "value": bb if isinstance(bb, (int, float)) else None,
         "unit": "ms", "vs_baseline": None,
         "extra": {"device": str(jax.devices()[0]), **results, **n_active},
     }))

@@ -180,11 +180,18 @@ def main():
     racing_rows = [
         (25, 4000, "racing", 1.0),
         (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship", 1.0),
-        # two-phase auto-lambda at flagship scale (phase-1 pert dump +
-        # VMEM-resident lambda kernel + phase-2 read-back; tracks the
-        # auto-lambda overhead over fixed)
+        # auto-lambda at flagship scale, all three modes (ESSPS/LBPS run
+        # the two-phase pert dump + VMEM-resident lambda kernel + phase-2
+        # read-back; MPO is single-pass + an optax step).  These rows ride
+        # the host-driven tunnel channel — the drift-proof per-mode device
+        # times and overhead percentages are benchmarks/
+        # autolambda_flagship.py's scanned rows.
         (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship_essps",
          "ESSPS"),
+        (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship_lbps",
+         "LBPS"),
+        (FLAGSHIP_HORIZON, FLAGSHIP_NUM_SAMPLES, "racing_flagship_mpo",
+         "MPO"),
     ]
     if _fused_on():
         # single-chip weak-scaling proof point: 10x the north-star K

@@ -92,6 +92,19 @@ def make_fused_solver(
         solve_core = make_fused_solve(config, task, interpret=interpret)
     sg_coeffs = config_sg_coeffs(config, dtype)
 
+    # 2D-fleet cores (scenario x samples both sharded) run this facade
+    # INSIDE shard_map, so their phase-1 costs are sample-axis-local; one
+    # 4K-byte-per-1k-samples all-gather reconstructs the global vector so
+    # the lambda search / MPO step see exactly what the unsharded solve
+    # sees.  1D sample-sharded cores merge outside shard_map and pass
+    # global costs already (gather_axis unset).
+    gather_axis = getattr(solve_core, "gather_axis", None)
+
+    def globalize(costs):
+        if gather_axis is None:
+            return costs
+        return jax.lax.all_gather(costs, gather_axis, tiled=True)
+
     init = make_init(config, mpo_optimizer)
     states_prediction = make_states_prediction(config, dynamics)
     # single-kernel nominal re-roll for the solve epilogue (same arithmetic;
@@ -114,6 +127,18 @@ def make_fused_solver(
         seed = jax.random.randint(noise_key, (), 0, jnp.iinfo(jnp.int32).max)
 
         smem_arrays = task.smem_builder(user_info)
+
+        def unpad(vec):
+            # A sample-sharded core may round K up to whole kernel tiles
+            # per shard (parallel/sharded.py); the padded tail carries 1e30
+            # costs / 0 weights and sits past index num_samples, so slicing
+            # restores the exact unsharded-length vectors for the lambda
+            # search (LBPS's cost range must not see 1e30), the MPO step,
+            # and the user-facing aux.
+            if vec.shape[0] == config.num_samples:
+                return vec
+            return vec[: config.num_samples]
+
         if auto in ("LBPS", "ESSPS"):
             # Two-phase auto-lambda (mppi.py:341-370, on device): the full
             # kernel produces lambda-independent costs; lambda is solved
@@ -149,30 +174,36 @@ def make_fused_solver(
             lambda_kernel_ok = not getattr(
                 solve_core, "is_sharded", False
             ) and lambda_search_supported(config.num_samples)
+            # the lambda search must see exactly num_samples costs: the
+            # sharded core's padded 1e30 tail would blow up LBPS's
+            # cost-range term (ESS terms are padding-exact, but slicing
+            # both keeps the search identical to the unsharded solve)
+            lam_costs = unpad(globalize(costs))
             if auto == "LBPS":
                 if lambda_kernel_ok:
                     lam = lbps_lambda_fused(
-                        costs, config.lbps_delta, config.lambda_min,
+                        lam_costs, config.lbps_delta, config.lambda_min,
                         config.lambda_max, iters=config.lbps_iters,
                         interpret=interpret,
                     )
                 else:
                     lam = autolambda.lbps_lambda(
-                        costs, config.lbps_delta, config.lambda_min,
+                        lam_costs, config.lbps_delta, config.lambda_min,
                         config.lambda_max, iters=config.lbps_iters,
                     )
             else:
                 if lambda_kernel_ok:
                     lam = essps_lambda_fused(
-                        costs, config.target_ess, config.lambda_min,
+                        lam_costs, config.target_ess, config.lambda_min,
                         config.lambda_max, iters=config.essps_iters,
                         interpret=interpret,
                     )
                 else:
                     lam = autolambda.essps_lambda(
-                        costs, config.target_ess, config.lambda_min,
+                        lam_costs, config.target_ess, config.lambda_min,
                         config.lambda_max, iters=config.essps_iters,
                     )
+            # phase 2 keeps the padded-length costs (they re-shard evenly)
             if dump:
                 stats, numer = solve_core.run_weighted(
                     state.previous_action_seq, lam, seed, costs,
@@ -182,6 +213,7 @@ def make_fused_solver(
                 stats, numer = solve_core.run_weighted(
                     state.previous_action_seq, lam, seed, costs, noise
                 )
+            costs = lam_costs
             update, weights, ess = solve_core.combine_partials(
                 costs, stats, numer, lam
             )
@@ -192,6 +224,8 @@ def make_fused_solver(
             costs, update, weights, ess = solve_core(
                 x0, state.previous_action_seq, lam, seed, smem_arrays, noise
             )
+            costs = unpad(costs)
+            weights = unpad(weights)
 
         if auto == "MPO":
             new_lam, new_log_t, new_opt_state = autolambda.mpo_step(

@@ -240,6 +240,7 @@ def make_fused_solve(
     interpret: Optional[bool] = None,
     local_num_samples: Optional[int] = None,
     tile_sublanes: Optional[int] = None,
+    global_padded: bool = False,
 ):
     """Build ``solve_core(x0, prev_seq, lam, seed, smem, noise) -> ...``.
 
@@ -281,12 +282,15 @@ def make_fused_solve(
     # Under sample-axis sharding each device runs this kernel on its shard
     # with a global tile offset; shards must be whole tiles so the global
     # sample indexing (and the PRNG stream) is identical to the unsharded
-    # solve.  Unsharded, the last tile may be padding.
+    # solve.  Unsharded, the last tile may be padding; sharded, the global
+    # tail may be padding too (``global_padded`` — the caller rounds K up
+    # to whole tiles per shard and the global-index mask below forces the
+    # padded samples' costs to 1e30 so they never win the softmin).
     num_local = num_samples if local_num_samples is None else local_num_samples
     if local_num_samples is not None:
         assert local_num_samples % tile == 0, (
-            f"sharded fused solve needs num_samples divisible by "
-            f"{tile} * n_shards (tile = tile_sublanes * 128)"
+            f"sharded fused solve needs whole {tile}-sample tiles per "
+            f"shard (tile = tile_sublanes * 128)"
         )
     num_tiles = -(-num_local // tile)
     k_pad = num_tiles * tile
@@ -455,7 +459,10 @@ def make_fused_solve(
             )
             acc = acc + task.stage_cost_soa(xs, zeros_u, ctx)
 
-            if k_pad > num_local:  # padding samples never win the softmin
+            # padding samples never win the softmin — locally padded last
+            # tile (unsharded) or globally padded trailing tiles (sharded
+            # with K not a multiple of tile * n_shards); sidx is global
+            if k_pad > num_local or global_padded:
                 acc = jnp.where(sidx < num_samples, acc, 1e30)
             costs_ref[:, :] = acc
 

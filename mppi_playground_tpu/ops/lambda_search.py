@@ -63,14 +63,6 @@ def _ess_terms_from_exp(e):
     return jnp.sum(e), jnp.sum(e * e)
 
 
-def _ess_terms(c, lam):
-    """(z, sum e^2) of softmax(-c/lam) partials at running max (in VMEM)."""
-    s = c * (-1.0 / lam)
-    m = jnp.max(s)
-    e = jnp.exp(s - m)
-    return _ess_terms_from_exp(e)
-
-
 def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     # params: [lam_min, lam_max, target]
     c = costs_ref[:, :]
@@ -78,8 +70,20 @@ def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     lam_max = params_ref[1]
     target = params_ref[2]
 
+    # The softmax shift is lambda-independent: max(-c/lam) = -min(c)/lam
+    # for lam > 0 (scaling by a positive constant is monotone, so the
+    # rounded max commutes).  Hoisting d = min(c) - c out of the loop
+    # drops the per-iteration [K] max-reduce and subtract — each of the
+    # 64 bisection steps is then one mul + exp + two sum-reduces over the
+    # VMEM-resident vector.  exp(d/lam) differs from exp(-c/lam - m) only
+    # in rounding order (one fma vs mul-then-sub), within 1 ulp; the
+    # bisection root moves < f32 resolution (asserted vs scipy in
+    # tests/test_autolambda.py).
+    d = jnp.min(c) - c
+
     def ess(lam):
-        z, sq = _ess_terms(c, lam)
+        e = jnp.exp(d * (1.0 / lam))
+        z, sq = _ess_terms_from_exp(e)
         return z * z / sq
 
     ess_at_min = ess(lam_min)
@@ -112,14 +116,24 @@ def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     lam_max = params_ref[1]
     range_pen = params_ref[3]
 
+    # The per-iteration [K] max-reduce is hoisted exactly: for lam > 0,
+    # max(round(c * (-1/lam))) == round(min(c) * (-1/lam)) because scaling
+    # by a positive constant is monotone and f32 rounding preserves order
+    # — so the scalar below reproduces the reduce BITWISE.  (A stronger
+    # hoist — folding the shift into exp((min(c)-c)/lam) — changes
+    # rounding by 1 ulp, and the LBPS objective is flat enough near its
+    # minimum that golden-section then converges to a different plateau
+    # point; measured 3.83 vs 3.33 on a uniform-cost vector.  Bisection on
+    # the monotone ESS is immune, hence the full hoist in _essps_kernel.)
+    cmin = jnp.min(c)
+
     def objective(lam):
         # negated LBPS lower bound (mppi.py:534-557), identical arithmetic
         # to core.autolambda.lbps_objective up to the softmax formulation;
         # z and sum(e^2) come from the shared _ess_terms partials, plus
         # one extra weighted-cost reduction
         s = c * (-1.0 / lam)
-        m = jnp.max(s)
-        e = jnp.exp(s - m)
+        e = jnp.exp(s - cmin * (-1.0 / lam))
         z, sq = _ess_terms_from_exp(e)
         ess = (z * z) / sq
         expected_return = -jnp.sum(e * c) / z

@@ -237,8 +237,13 @@ def make_sharded_fused_solver(
 ) -> ShardedFusedSolver:
     """Shard the fused Pallas solve over ``mesh``'s sample axis.
 
-    Requires ``num_samples % (1024 * n_shards) == 0`` (whole kernel tiles
-    per shard).  ``task`` is the model's
+    Any ``num_samples`` is supported: K is rounded up to whole 1024-sample
+    kernel tiles per shard (e.g. the K=100,000 flagship on 8 shards runs
+    13 tiles x 1024 per shard = 106,496 padded samples) and the kernel's
+    global-index mask pins the padded tail's costs to 1e30, so results
+    equal the unsharded solve exactly — the real samples' PRNG streams are
+    keyed by global tile id either way.  The facade slices the padded
+    costs/weights back to ``num_samples``.  ``task`` is the model's
     :class:`~mppi_playground_tpu.ops.fused_solve.FusedTask`.
     """
     from jax.sharding import PartitionSpec
@@ -246,15 +251,13 @@ def make_sharded_fused_solver(
     from mppi_playground_tpu.ops.fused_solve import TILE, make_fused_solve
 
     n_shards = mesh.shape[sample_axis]
-    if config.num_samples % (TILE * n_shards) != 0:
-        raise ValueError(
-            f"num_samples ({config.num_samples}) must divide into "
-            f"{TILE}-sample tiles per shard ({n_shards} shards)"
-        )
-    local_k = config.num_samples // n_shards
-    local_tiles = local_k // TILE
+    total_tiles = -(-config.num_samples // TILE)
+    local_tiles = -(-total_tiles // n_shards)
+    local_k = local_tiles * TILE
+    padded_k = local_k * n_shards
     core = make_fused_solve(
-        config, task, interpret=interpret, local_num_samples=local_k
+        config, task, interpret=interpret, local_num_samples=local_k,
+        global_padded=padded_k > config.num_samples,
     )
 
     rep = PartitionSpec()
@@ -272,9 +275,25 @@ def make_sharded_fused_solver(
     # axis is dim 1, so dumps/read-backs shard there and never move
     pert_spec = PartitionSpec(None, sample_axis, None)
 
+    def _pad_samples(arr, fill=0.0):
+        """Round a [K, ...] sample-axis operand up to the padded length.
+
+        Injected noise (and externally supplied costs) must divide evenly
+        over the shards; the padded rows correspond to the kernel's masked
+        padding samples.  Costs pad with 1e30 (never win the softmin),
+        noise with zeros (masked anyway).
+        """
+        if arr is None or arr.shape[0] == padded_k:
+            return arr
+        pad = padded_k - arr.shape[0]
+        return jnp.concatenate(
+            [arr, jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)]
+        )
+
     def sharded_run_kernel(x0, prev_seq, lam, seed, smem_arrays, noise=None,
                            tile_offset=0, dump_pert=False, costs_only=False):
         del tile_offset  # computed per shard from the mesh position
+        noise = _pad_samples(noise)
         smem_specs = jax.tree_util.tree_map(lambda _: rep, smem_arrays)
         noise_spec = shard if noise is not None else rep
 
@@ -302,6 +321,9 @@ def make_sharded_fused_solver(
     def sharded_run_weighted(prev_seq, lam, seed, costs, noise=None,
                              tile_offset=0, pert=None):
         del tile_offset
+        noise = _pad_samples(noise)
+        # padded cost entries (1e30, like the kernel mask) lose the softmin
+        costs = _pad_samples(costs, fill=1e30)
         noise_spec = shard if noise is not None else rep
         p_spec = pert_spec if pert is not None else rep
 
@@ -329,6 +351,7 @@ def make_sharded_fused_solver(
 
     def sharded_run_regen(prev_seq, seed, noise=None, tile_offset=0):
         del tile_offset
+        noise = _pad_samples(noise)
         noise_spec = shard if noise is not None else rep
 
         def shard_fn(prev_seq, seed, noise):
@@ -391,6 +414,7 @@ def make_batched_fused_solver(
     mesh: Mesh,
     batch_size: int,
     scenario_axis: str = SCENARIO_AXIS,
+    sample_axis: Optional[str] = None,
     jit: bool = True,
     interpret: Optional[bool] = None,
     donate_state: bool = True,
@@ -407,9 +431,19 @@ def make_batched_fused_solver(
     ``make_batched_solver`` (which has no ``noise``).  With
     ``donate_state=True`` (default) the input states buffers are consumed
     by the jit — pass False to reuse them after the call.
+
+    Passing ``sample_axis`` composes BOTH fused parallel axes on a 2D
+    mesh: scenarios shard over ``scenario_axis`` and, within each
+    scenario, the K rollouts shard over ``sample_axis`` (whole 1024-tile
+    shards, padded like ``make_sharded_fused_solver``).  Each solve's
+    cross-device traffic is the softmin pmax/psum over the sample axis
+    plus one ~4·K-byte cost all-gather for the lambda search / user-facing
+    aux.  Results equal the per-scenario unsharded solves exactly (same
+    global-tile PRNG streams; tests/test_sharded_fused.py).
     """
     from jax.sharding import PartitionSpec
     from mppi_playground_tpu.core.fused_solver import make_fused_solver
+    from mppi_playground_tpu.ops.fused_solve import TILE, make_fused_solve
 
     n_shards = mesh.shape[scenario_axis]
     if batch_size % n_shards != 0:
@@ -417,10 +451,75 @@ def make_batched_fused_solver(
             f"batch_size ({batch_size}) must divide over "
             f"{n_shards} scenario shards"
         )
-    base = make_fused_solver(
-        config, task, dynamics, jit=False, donate_state=False,
-        interpret=interpret,
-    )
+
+    two_d = sample_axis is not None and mesh.shape[sample_axis] > 1
+    if two_d:
+        n_sample_shards = mesh.shape[sample_axis]
+        total_tiles = -(-config.num_samples // TILE)
+        local_tiles = -(-total_tiles // n_sample_shards)
+        local_k = local_tiles * TILE
+        padded_k = local_k * n_sample_shards
+        core = make_fused_solve(
+            config, task, interpret=interpret, local_num_samples=local_k,
+            global_padded=padded_k > config.num_samples,
+        )
+
+        # This core runs INSIDE shard_map (per scenario, via lax.map):
+        # kernels work on the local sample shard with a global tile
+        # offset; the softmin merge psums over the sample axis; the
+        # facade all-gathers the costs once (gather_axis) so lambda
+        # search / aux see the exact global vectors.
+        def local_run_kernel(x0, prev_seq, lam, seed, smem_arrays,
+                             noise=None, tile_offset=0, dump_pert=False,
+                             costs_only=False):
+            del tile_offset
+            idx = jax.lax.axis_index(sample_axis)
+            return core.run_kernel(
+                x0, prev_seq, lam, seed, smem_arrays, noise=noise,
+                tile_offset=idx * local_tiles,
+                dump_pert=dump_pert, costs_only=costs_only,
+            )
+
+        def local_run_weighted(prev_seq, lam, seed, costs, noise=None,
+                               tile_offset=0, pert=None):
+            del tile_offset
+            idx = jax.lax.axis_index(sample_axis)
+            return core.run_weighted(
+                prev_seq, lam, seed, costs, noise=noise,
+                tile_offset=idx * local_tiles, pert=pert,
+            )
+
+        def local_combine(costs, stats, numer, lam, axis_name=None):
+            del axis_name  # always the mesh's sample axis here
+            return core.combine_partials(
+                costs, stats, numer, lam, axis_name=sample_axis
+            )
+
+        def local_core(x0, prev_seq, lam, seed, smem_arrays, noise=None):
+            costs, stats, numer = local_run_kernel(
+                x0, prev_seq, lam, seed, smem_arrays, noise
+            )
+            costs_g = jax.lax.all_gather(costs, sample_axis, tiled=True)[
+                : config.num_samples
+            ]
+            update, weights, ess = local_combine(costs_g, stats, numer, lam)
+            return costs_g, update, weights, ess
+
+        local_core.run_kernel = local_run_kernel
+        local_core.run_weighted = local_run_weighted
+        local_core.combine_partials = local_combine
+        local_core.supports_pert_dump = True
+        local_core.is_sharded = True
+        local_core.gather_axis = sample_axis
+        base = make_fused_solver(
+            config, task, dynamics, jit=False, donate_state=False,
+            interpret=interpret, solve_core=local_core,
+        )
+    else:
+        base = make_fused_solver(
+            config, task, dynamics, jit=False, donate_state=False,
+            interpret=interpret,
+        )
 
     rep = PartitionSpec()
     shard = PartitionSpec(scenario_axis)
@@ -436,7 +535,22 @@ def make_batched_fused_solver(
         batched_info: Optional[Dict[str, Any]] = None,
     ) -> SolveResult:
         state_specs = jax.tree_util.tree_map(lambda _: shard, states)
-        noise_spec = shard if noise is not None else rep
+        if two_d and noise is not None:
+            if noise.shape[1] != padded_k:  # pad K up to whole shard tiles
+                pad = padded_k - noise.shape[1]
+                noise = jnp.concatenate(
+                    [
+                        noise,
+                        jnp.zeros(
+                            (noise.shape[0], pad) + noise.shape[2:],
+                            noise.dtype,
+                        ),
+                    ],
+                    axis=1,
+                )
+            noise_spec = PartitionSpec(scenario_axis, sample_axis)
+        else:
+            noise_spec = shard if noise is not None else rep
         binfo_specs = jax.tree_util.tree_map(
             lambda _: shard, batched_info
         )

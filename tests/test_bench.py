@@ -26,9 +26,9 @@ def test_bench_main_prints_one_json_line(capsys, monkeypatch):
     assert d["value"] > 0
     assert d["vs_baseline"] > 0
     extra = d["extra"]
-    assert extra["rollouts_per_s"] > 0
-    assert extra["solve_ms"] > 0
-    assert len(extra["windows"]) >= 1
+    assert extra["host_driven_solves_per_s"] > 0
+    assert extra["host_driven_solve_ms"] > 0
+    assert len(extra["host_driven_windows"]) >= 1
     assert "backend" in extra and "device" in extra
 
 
@@ -44,6 +44,20 @@ def test_host_synced_mode_measures_and_matches_schema(monkeypatch):
         env, solver, tick, windows=1, iters=2, warmup=1, sync_every_tick=True
     )
     assert synced > 0
+    assert len(rates) == 1
+
+
+def test_host_pipelined_mode_measures_and_matches_schema(monkeypatch):
+    """The double-buffered real-time mode (async D2H, depth-queue) must
+    drain its queue and produce a positive rate on the CPU path."""
+    monkeypatch.setattr(bench, "NUM_SAMPLES", 512)
+    monkeypatch.setattr(bench, "HORIZON", 10)
+
+    env, solver, tick = bench.build()
+    rate, rates = bench.measure_host_pipelined(
+        env, solver, tick, windows=1, iters=6, depth=2, warmup=1
+    )
+    assert rate > 0
     assert len(rates) == 1
 
 

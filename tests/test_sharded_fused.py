@@ -153,6 +153,82 @@ def test_sharded_fused_racing_task():
     )
 
 
+def test_sharded_fused_padded_last_shard_flagship_k():
+    """The exact flagship K=100,000 sample-shards over 8 devices.
+
+    100,000 is not a multiple of 1024·8: each shard carries 13 whole
+    kernel tiles (106,496 padded samples globally) and the kernel's
+    global-index mask pins the padded tail to 1e30 cost.  Costs, weights,
+    update and ESS must equal the unsharded solve exactly (same noise)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_config(), num_samples=100_000)
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_fused_solver(cfg, task, dyn, mesh, jit=True)
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    x0 = jnp.asarray([0.3, -0.1], jnp.float32)
+    noise = (
+        jax.random.normal(
+            jax.random.PRNGKey(11), (100_000, HORIZON, 1), jnp.float32
+        )
+        * 0.7
+    )
+    rs = sharded.solve(sharded.init(), x0, info=_info(), noise=noise)
+    r1 = single.solve(single.init(), x0, info=_info(), noise=noise)
+
+    assert rs.aux.costs.shape == (100_000,)
+    assert rs.aux.weights.shape == (100_000,)
+    np.testing.assert_allclose(
+        np.asarray(rs.aux.costs), np.asarray(r1.aux.costs), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.aux.weights), np.asarray(r1.aux.weights), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.action_seq), np.asarray(r1.action_seq), atol=5e-3
+    )
+    np.testing.assert_allclose(float(rs.aux.ess), float(r1.aux.ess), rtol=1e-3)
+
+
+def test_sharded_fused_padded_essps_and_top_samples():
+    """Two-phase ESSPS + top-k diagnostics with a padded last shard.
+
+    K=9000 over 8 shards (2 tiles each, 16,384 padded): the lambda search
+    must see exactly K costs (LBPS/ESSPS padding exactness), phase 2
+    re-shards the padded costs, and regenerated top samples index the
+    padded perturbation dump correctly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_config(), num_samples=9000, lambda_="ESSPS")
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(1, 8))
+    sharded = make_sharded_fused_solver(cfg, task, dyn, mesh, jit=True)
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(13), (9000, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    x0 = jnp.asarray([0.2, 0.1], jnp.float32)
+    rs = sharded.solve(sharded.init(), x0, info=_info(), noise=noise)
+    r1 = single.solve(single.init(), x0, info=_info(), noise=noise)
+
+    np.testing.assert_allclose(
+        np.asarray(rs.aux.costs), np.asarray(r1.aux.costs), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(rs.aux.lam), float(r1.aux.lam), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(rs.action_seq), np.asarray(r1.action_seq), atol=5e-3
+    )
+    ts, ws = sharded.top_samples(rs.aux, 8, noise=noise)
+    t1, w1 = single.top_samples(r1.aux, 8, noise=noise)
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(w1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(t1), atol=1e-5)
+
+
 def test_batched_fused_matches_individual_solves():
     """Scenario-batched fused solve == per-scenario fused solves."""
     from mppi_playground_tpu.parallel.sharded import make_batched_fused_solver
@@ -252,6 +328,94 @@ def test_sharded_fused_top_samples_matches_single():
     t1, w1 = single.top_samples(r1.aux, 16, noise=noise)
     np.testing.assert_allclose(np.asarray(ws), np.asarray(w1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ts), np.asarray(t1), atol=1e-5)
+
+
+def test_batched_fused_2d_mesh_matches_individual():
+    """2D fused fleet: scenarios x samples both sharded (VERDICT r3 #8).
+
+    B=2 scenarios over 2 scenario shards; within each scenario K=5000
+    samples shard 4-way (2 padded 1024-tiles per shard).  Every scenario's
+    costs/weights/update must equal its standalone unsharded fused solve."""
+    from mppi_playground_tpu.parallel.sharded import make_batched_fused_solver
+
+    K2 = 5000
+    cfg = MPPIConfig(
+        horizon=HORIZON, num_samples=K2, dim_state=2, dim_control=1,
+        u_min=(-1.0,), u_max=(1.0,), sigmas=(0.7,), lambda_=0.5,
+        store_rollouts=False,
+    )
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(2, 4))
+    B = 2
+    batched = make_batched_fused_solver(
+        cfg, task, dyn, mesh, batch_size=B, sample_axis="samples",
+        donate_state=False,
+    )
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    states = batched.init_batch(seed=6)
+    x0s = jnp.asarray([[0.2, -0.1], [-0.3, 0.4]], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(7), (B, K2, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rb = batched.solve_batch(states, x0s, info=_info(), noise=noise)
+
+    assert rb.aux.costs.shape == (B, K2)
+    assert rb.aux.weights.shape == (B, K2)
+    for b in range(B):
+        st_b = jax.tree_util.tree_map(lambda leaf: leaf[b], states)
+        r1 = single.solve(st_b, x0s[b], info=_info(), noise=noise[b])
+        np.testing.assert_allclose(
+            np.asarray(rb.aux.costs[b]), np.asarray(r1.aux.costs), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(rb.aux.weights[b]), np.asarray(r1.aux.weights),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rb.action_seq[b]), np.asarray(r1.action_seq), atol=5e-3
+        )
+
+
+def test_batched_fused_2d_mesh_essps():
+    """2D fused fleet with two-phase ESSPS: per-scenario lambda matches."""
+    from mppi_playground_tpu.parallel.sharded import make_batched_fused_solver
+
+    K2 = 5000
+    cfg = MPPIConfig(
+        horizon=HORIZON, num_samples=K2, dim_state=2, dim_control=1,
+        u_min=(-1.0,), u_max=(1.0,), sigmas=(0.7,), lambda_="ESSPS",
+        store_rollouts=False,
+    )
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    mesh = make_mesh(mesh_shape=(2, 4))
+    B = 2
+    batched = make_batched_fused_solver(
+        cfg, task, dyn, mesh, batch_size=B, sample_axis="samples",
+        donate_state=False,
+    )
+    single = make_fused_solver(cfg, task, dyn, jit=True, donate_state=False)
+
+    states = batched.init_batch(seed=8)
+    x0s = jnp.asarray([[0.0, 0.0], [0.5, -0.5]], jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(15), (B, K2, HORIZON, 1), jnp.float32)
+        * 0.7
+    )
+    rb = batched.solve_batch(states, x0s, info=_info(), noise=noise)
+    for b in range(B):
+        st_b = jax.tree_util.tree_map(lambda leaf: leaf[b], states)
+        r1 = single.solve(st_b, x0s[b], info=_info(), noise=noise[b])
+        np.testing.assert_allclose(
+            float(rb.aux.lam[b]), float(r1.aux.lam), rtol=1e-6,
+            err_msg=f"adapted lambda diverged for scenario {b}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rb.action_seq[b]), np.asarray(r1.action_seq), atol=5e-3
+        )
 
 
 def test_batched_fused_essps_matches_individual():
