@@ -11,6 +11,7 @@ control tick, Pallas hot-path kernels, sample-axis sharding over device
 meshes with psum reductions, explicit checkpointable solver state.
 """
 
+from mppi_playground_tpu.core.closed_loop import PipelinedRunner
 from mppi_playground_tpu.core.config import MPPIConfig, MPPIState
 from mppi_playground_tpu.core.controller import MPPI
 from mppi_playground_tpu.core.solver import (
@@ -25,9 +26,10 @@ __all__ = [
     "MPPIConfig",
     "MPPIState",
     "MPPISolver",
+    "PipelinedRunner",
     "SolveAux",
     "SolveResult",
     "make_solver",
 ]
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"

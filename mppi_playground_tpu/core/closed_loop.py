@@ -106,6 +106,89 @@ class RunnerCache:
         return run
 
 
+class PipelinedRunner:
+    """Delay-compensated real-time serving: keep ``depth`` solves in flight.
+
+    A strict host-in-the-loop controller pays a full device sync per tick
+    (solve -> read action -> act); through a high-latency link the sync
+    dominates the tick (measured ~25 ms through this project's tunnel vs
+    a ~0.75 ms solve — ``bench.py`` ``host_synced_solves_per_s``).  This
+    runner double-buffers: ``step(x)`` dispatches a solve from the
+    current state, starts its action transfer asynchronously
+    (``copy_to_host_async``), and returns the action of the solve issued
+    ``depth`` calls earlier — the link round trip overlaps device compute
+    and later dispatches instead of serializing with them.
+
+    **Staleness contract.**  The returned action comes from a solve that
+    saw the state ``depth`` ticks ago.  With ``compensate=True`` (the
+    default) the runner returns that plan's row ``min(depth, T-1)`` —
+    receding-horizon delay compensation: row ``d`` is the action the
+    stale plan intended for the current wall-clock tick.  With
+    ``compensate=False`` it returns row 0 (act on the stale plan's first
+    action).  MPPI's warm start is unaffected either way: solves chain
+    their own :class:`MPPIState` sequentially on device, so the sampling
+    mean is always the previous solve's solution.  During pipeline fill
+    (the first ``depth`` calls) the newest plan's row 0 is returned,
+    which blocks on that solve — a one-time ramp.
+
+    The loop semantics match ``bench.py``'s
+    ``host_synced_pipelined_solves_per_s`` mode, which measures this
+    pattern at flagship scale (≈#depth-independent dispatch-pipelined
+    throughput instead of the strict-sync rate).
+    """
+
+    def __init__(self, solver, depth: int = 2, compensate: bool = True):
+        import collections
+
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        self._solver = solver
+        self._depth = depth
+        self._row = (
+            min(depth, solver.config.horizon - 1) if compensate else 0
+        )
+        self._state = solver.init()
+        self._queue = collections.deque()
+
+    @property
+    def state(self):
+        """The warm-start state after the newest dispatched solve."""
+        return self._state
+
+    def step(self, x, info: Optional[dict] = None):
+        """Dispatch a solve from ``x``; return a numpy action (see class
+        docstring for whose plan and which row)."""
+        import numpy as np
+
+        result = self._solver.solve(self._state, x, info=info)
+        self._state = result.state
+        seq = result.action_seq
+        try:
+            seq.copy_to_host_async()
+        except AttributeError:  # older jax array types
+            pass
+        self._queue.append(seq)
+        if len(self._queue) <= self._depth:
+            return np.asarray(seq)[0]  # pipeline fill: newest plan, row 0
+        return np.asarray(self._queue.popleft())[self._row]
+
+    def flush(self):
+        """Drain in-flight solves (e.g. at episode end); returns their
+        remaining action sequences as numpy arrays, oldest first."""
+        import numpy as np
+
+        out = [np.asarray(q) for q in self._queue]
+        self._queue.clear()
+        return out
+
+    def reset(self, seed: Optional[int] = None):
+        """Drop in-flight solves and re-init the warm-start state."""
+        self._queue.clear()
+        self._state = (
+            self._solver.init() if seed is None else self._solver.init(seed)
+        )
+
+
 def make_closed_loop(
     solver,
     plant_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],

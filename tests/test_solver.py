@@ -377,3 +377,63 @@ def test_runner_cache_failed_build_preserves_entries():
 
     with pytest.raises(ValueError, match="capacity"):
         RunnerCache(capacity=0)
+
+
+def test_pipelined_runner_matches_sequential_schedule():
+    """PipelinedRunner returns exactly the sequential solves' plans on the
+    documented schedule: fill returns plan_t[0] for the first `depth`
+    calls, steady state returns plan_{t-depth}[depth] (delay-compensated
+    row).  Warm-start chaining must match a plain sequential loop."""
+    from mppi_playground_tpu.core.closed_loop import PipelinedRunner
+
+    config = _integrator_config()
+    solver = make_solver(config, integrator.dynamics, integrator.cost)
+    depth = 2
+    xs = [jnp.asarray([0.1 * t, -0.05 * t], jnp.float32) for t in range(6)]
+
+    # reference: sequential solves with the same state chaining
+    st = solver.init()
+    plans = []
+    for x in xs:
+        r = solver.solve(st, x)
+        plans.append(np.asarray(r.action_seq))
+        st = r.state
+
+    runner = PipelinedRunner(solver, depth=depth)
+    for t, x in enumerate(xs):
+        a = runner.step(x)
+        if t < depth:
+            np.testing.assert_allclose(a, plans[t][0], atol=1e-6)
+        else:
+            np.testing.assert_allclose(
+                a, plans[t - depth][depth], atol=1e-6
+            )
+    leftover = runner.flush()
+    assert len(leftover) == depth
+    np.testing.assert_allclose(leftover[-1], plans[-1], atol=1e-6)
+
+    runner.reset()
+    a0 = runner.step(xs[0])
+    np.testing.assert_allclose(a0, plans[0][0], atol=1e-6)
+
+
+def test_pipelined_runner_uncompensated_row_and_validation():
+    from mppi_playground_tpu.core.closed_loop import PipelinedRunner
+
+    config = _integrator_config()
+    solver = make_solver(config, integrator.dynamics, integrator.cost)
+    with pytest.raises(ValueError):
+        PipelinedRunner(solver, depth=0)
+
+    st = solver.init()
+    plans = []
+    x = jnp.zeros(2, jnp.float32)
+    for _ in range(3):
+        r = solver.solve(st, x)
+        plans.append(np.asarray(r.action_seq))
+        st = r.state
+
+    runner = PipelinedRunner(solver, depth=1, compensate=False)
+    runner.step(x)
+    a = runner.step(x)  # steady state: previous plan, row 0
+    np.testing.assert_allclose(a, plans[0][0], atol=1e-6)
