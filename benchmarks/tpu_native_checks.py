@@ -250,6 +250,60 @@ def check_fused_top_samples():
     )
 
 
+def check_lambda_epilogue_bitwise():
+    """In-kernel lambda epilogue == standalone search kernel on the PRNG
+    path (the CPU suite's bitwise test injects noise; this covers the
+    native hardware-PRNG stream at flagship scale)."""
+    import jax.numpy as jnp
+
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
+    from mppi_playground_tpu.envs.racing_env import RacingEnv
+    from mppi_playground_tpu.models.racing_mpcc import (
+        calc_ref_trajectory,
+        make_racing_fused_task_from_env,
+    )
+
+    env = RacingEnv()
+    task = make_racing_fused_task_from_env(env)
+    x0 = env.reset()
+    ref, _ = calc_ref_trajectory(
+        x0, env.racing_center_path, jnp.asarray(0, jnp.int32), 50
+    )
+    info = {"reference_path": ref}
+    ok = True
+    lams = {}
+    for mode in ("ESSPS", "LBPS"):
+        cfg = MPPIConfig(
+            horizon=50, num_samples=100_000, dim_state=4, dim_control=2,
+            u_min=tuple(float(v) for v in env.u_min.tolist()),
+            u_max=tuple(float(v) for v in env.u_max.tolist()),
+            sigmas=(0.5, 0.1), lambda_=mode, store_rollouts=False,
+        )
+        out = {}
+        for epi in (True, False):
+            s = make_fused_solver(
+                cfg, task, env.dynamics, donate_state=False,
+                lambda_epilogue=epi,
+            )
+            r = s.solve(s.init(), x0, info=info)
+            out[epi] = (
+                float(r.aux.lam),
+                np.asarray(r.action_seq),
+                np.asarray(r.aux.costs),
+            )
+        lams[mode] = out[True][0]
+        ok = ok and (
+            out[True][0] == out[False][0]
+            and (out[True][1] == out[False][1]).all()
+            and (out[True][2] == out[False][2]).all()
+        )
+    return _emit(
+        "lambda_epilogue_bitwise", ok,
+        essps_lambda=lams["ESSPS"], lbps_lambda=lams["LBPS"],
+    )
+
+
 def main():
     import jax
 
@@ -263,6 +317,7 @@ def main():
         check_dump_pert_matches_regen(),
         check_tile_offset_invariance(),
         check_fused_top_samples(),
+        check_lambda_epilogue_bitwise(),
     ]
     return 0 if all(results) else 1
 

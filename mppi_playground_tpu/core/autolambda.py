@@ -58,7 +58,7 @@ def essps_lambda(
     target_ess: float,
     lambda_min: float,
     lambda_max: float,
-    iters: int = 64,
+    iters: int = 40,
 ) -> jnp.ndarray:
     """On-device ESSPS (mppi.py:351-370).
 
@@ -117,7 +117,7 @@ def lbps_lambda(
     delta: float,
     lambda_min: float,
     lambda_max: float,
-    iters: int = 48,
+    iters: int = 32,
 ) -> jnp.ndarray:
     """On-device LBPS (mppi.py:341-349) via fixed-iteration golden-section.
 
@@ -129,8 +129,10 @@ def lbps_lambda(
     One fresh O(K) objective evaluation per iteration: golden-section's
     invariant is that one interior point of the shrunk interval coincides
     with a point already evaluated, so the surviving value is carried
-    through ``jnp.where`` instead of being recomputed.  48 iterations
-    shrink [0.01, 10] below f32 resolution (width ~9e-10).
+    through ``jnp.where`` instead of being recomputed.  The reference's
+    own convergence is scipy's xatol=1e-5, which golden section matches
+    in 29 iterations on [0.01, 10]; the 32-iteration default shrinks the
+    bracket to ~2e-6 — tighter than the upstream it mirrors.
     """
     dtype = costs.dtype
     invphi = jnp.asarray((jnp.sqrt(5.0) - 1.0) / 2.0, dtype)  # 1/phi

@@ -65,13 +65,22 @@ class MPPIConfig:
     # (get_top_samples).  Disable on huge K to keep rollouts implicit.
     store_rollouts: bool = True
     # Number of fixed bisection iterations for the on-device ESSPS root
-    # find (replaces scipy.optimize.brentq, mppi.py:366-370).
-    essps_iters: int = 64
+    # find (replaces scipy.optimize.brentq, mppi.py:366-370).  40 shrink
+    # the default [0.01, 10] bracket to 1e-11 — past f32 resolution at any
+    # root in the bracket (the midpoint stops moving once the endpoints
+    # are 1 ulp apart, so further iterations are paid-for no-ops; measured
+    # bitwise-identical lambda* at 34 vs 64 iterations on gamma-cost
+    # vectors at K=100k).
+    essps_iters: int = 40
     # Number of fixed golden-section iterations for the on-device LBPS
     # scalar minimization (replaces scipy minimize_scalar, mppi.py:344-349).
-    # One O(K) objective evaluation per iteration; 48 shrink the default
-    # [0.01, 10] bracket below f32 resolution.
-    lbps_iters: int = 48
+    # One O(K) objective evaluation per iteration.  The reference's own
+    # convergence is scipy's bounded method at xatol=1e-5, which golden
+    # section matches on the default [0.01, 10] bracket in
+    # ceil(log(10/1e-5)/log(phi)) = 29 iterations; 32 shrinks the bracket
+    # to phi^-32 * 10 = 2e-6 — still tighter than the upstream it mirrors
+    # (equivalence vs scipy asserted in tests/test_autolambda.py).
+    lbps_iters: int = 32
     # 'xla' uses pure-JAX ops; 'pallas' enables fused TPU kernels for the
     # softmin weighted-update hot path; 'auto' picks pallas on TPU backends.
     kernel_backend: str = "auto"

@@ -62,6 +62,7 @@ def make_fused_solver(
     donate_state: bool = True,
     interpret: Optional[bool] = None,
     solve_core: Optional[Callable] = None,
+    lambda_epilogue: Optional[bool] = None,
 ) -> MPPISolver:
     """Build the fused-kernel solver.
 
@@ -76,6 +77,16 @@ def make_fused_solver(
             ``parallel.make_sharded_fused_solver`` to substitute the
             shard_map'd core; same signature/returns as
             ``ops.fused_solve.make_fused_solve``'s result.
+        lambda_epilogue: run the LBPS/ESSPS lambda search as an epilogue
+            of the phase-1 kernel itself (no second launch, no 400 KB
+            HBM round trip) instead of the standalone VMEM kernel.  The
+            epilogue forces the phase-1 grid sequential, so the default
+            (None) enables it only where the grid never split anyway:
+            single-TensorCore chips (v5e/v6e "lite" cores) and interpret
+            mode.  On megacore chips (v4/v5p) the standalone kernel
+            preserves the 2-core grid split.  Results are bitwise
+            identical either way (shared search bodies,
+            tests/test_fused_solve.py).
     """
     assert not config.store_rollouts, "fused path does not store rollouts"
     auto = config.auto_lambda
@@ -91,6 +102,22 @@ def make_fused_solver(
     if solve_core is None:
         solve_core = make_fused_solve(config, task, interpret=interpret)
     sg_coeffs = config_sg_coeffs(config, dtype)
+
+    if lambda_epilogue is None:
+        if jax.default_backend() == "tpu":
+            kind = jax.devices()[0].device_kind.lower()
+            # single-TensorCore chips: the phase-1 grid never splits, so
+            # the epilogue's sequential-grid requirement costs nothing
+            lambda_epilogue = "lite" in kind or "v6" in kind
+        else:
+            # interpret mode (CPU tests): no grid split to lose
+            lambda_epilogue = True
+    use_lambda_epilogue = (
+        auto in ("LBPS", "ESSPS")
+        and lambda_epilogue
+        and getattr(solve_core, "supports_lambda_epilogue", False)
+        and getattr(solve_core, "supports_pert_dump", False)
+    )
 
     # 2D-fleet cores (scenario x samples both sharded) run this facade
     # INSIDE shard_map, so their phase-1 costs are sample-axis-local; one
@@ -148,7 +175,17 @@ def make_fused_solver(
             # at flagship scale that reads ~40 MB instead of regenerating
             # ~10M normals (Box-Muller), cutting phase 2 ~3x.
             dump = getattr(solve_core, "supports_pert_dump", False)
-            if dump:
+            if use_lambda_epilogue:
+                # phase 1 computes costs AND lambda* in one launch: the
+                # search runs as the kernel's last-grid-step epilogue on
+                # the VMEM-resident cost block (ops/fused_solve.py),
+                # bitwise-equal to the standalone search kernels below
+                costs, pert_raw, lam = solve_core.run_kernel(
+                    x0, state.previous_action_seq, state.lam, seed,
+                    smem_arrays, noise, dump_pert=True, costs_only=True,
+                    lambda_mode=auto.lower(),
+                )
+            elif dump:
                 # costs_only also skips the phase-1 softmin partials,
                 # which were computed at the provisional lambda and thrown
                 # away (~T*m per-tile reductions saved)
@@ -179,7 +216,9 @@ def make_fused_solver(
             # cost-range term (ESS terms are padding-exact, but slicing
             # both keeps the search identical to the unsharded solve)
             lam_costs = unpad(globalize(costs))
-            if auto == "LBPS":
+            if use_lambda_epilogue:
+                pass  # lam already solved inside the phase-1 kernel
+            elif auto == "LBPS":
                 if lambda_kernel_ok:
                     lam = lbps_lambda_fused(
                         lam_costs, config.lbps_delta, config.lambda_min,

@@ -301,6 +301,12 @@ def make_fused_solve(
 
     vmem_leaves, vmem_treedef = jax.tree_util.tree_flatten(task.vmem_args)
 
+    # deferred import: ops/lambda_search imports LANES/TILE from this module
+    from mppi_playground_tpu.ops.lambda_search import (  # noqa: E402
+        essps_bisect,
+        lbps_golden,
+    )
+
     def _check_prng_available(noise_mode: bool) -> None:
         # pltpu.prng_random_bits has no interpreter implementation: in
         # interpret mode (the default on every non-TPU backend) the seeded
@@ -318,7 +324,7 @@ def make_fused_solve(
                noise_mode: bool, smem_keys: Tuple[str, ...],
                weighted_only: bool = False, regen_dump_only: bool = False,
                dump_pert: bool = False, pert_in: bool = False,
-               costs_only: bool = False):
+               costs_only: bool = False, lambda_mode: Optional[str] = None):
         # ``weighted_only`` is the auto-lambda second phase: costs are an
         # input (computed by the full kernel at a provisional lambda), the
         # rollout is skipped, and the perturbations come from the same
@@ -354,9 +360,18 @@ def make_fused_solve(
             costs_in_ref = refs[idx]
             stats_ref, numer_ref = refs[idx + 1 : idx + 3]
         elif costs_only:
+            # output order: costs, [pert dump], [lambda]; an SMEM min/max
+            # scratch ref (LBPS lambda epilogue only) trails the outputs
             costs_ref = refs[idx]
+            nxt = idx + 1
             if dump_pert:
-                pert_out_ref = refs[idx + 1]
+                pert_out_ref = refs[nxt]
+                nxt += 1
+            if lambda_mode is not None:
+                lam_out_ref = refs[nxt]
+                nxt += 1
+                if lambda_mode == "lbps":
+                    minmax_ref = refs[nxt]
         else:
             # dump_pert implies costs_only (asserted in run_kernel): the
             # only dump consumer is auto-lambda phase 1, which discards
@@ -462,11 +477,79 @@ def make_fused_solve(
             # padding samples never win the softmin — locally padded last
             # tile (unsharded) or globally padded trailing tiles (sharded
             # with K not a multiple of tile * n_shards); sidx is global
+            if lambda_mode == "lbps":
+                # LBPS's cost-range term must see only the real K samples
+                # (the padded tail's rollouts are genuine but excluded by
+                # the facade's unpad slice); min/max are exact in f32, so
+                # the SMEM-accumulated scalars match the XLA reduce over
+                # costs[:K] bitwise regardless of reduction order.
+                if k_pad > num_local or global_padded:
+                    valid = sidx < num_samples
+                    tile_min = jnp.min(jnp.where(valid, acc, jnp.inf))
+                    tile_max = jnp.max(jnp.where(valid, acc, -jnp.inf))
+                else:
+                    tile_min = jnp.min(acc)
+                    tile_max = jnp.max(acc)
             if k_pad > num_local or global_padded:
                 acc = jnp.where(sidx < num_samples, acc, 1e30)
-            costs_ref[:, :] = acc
+            if lambda_mode is None:
+                costs_ref[:, :] = acc
+            else:
+                # the costs output is one revisited full-array VMEM block
+                # (see run_kernel): each grid step stores its tile's rows,
+                # and the last step reads the whole block for the lambda
+                # epilogue — no HBM round trip, no second kernel launch
+                il = pl.program_id(0)
+                costs_ref[pl.ds(il * S, S), :] = acc
+                if lambda_mode == "lbps":
+                    @pl.when(il == 0)
+                    def _init_minmax():
+                        minmax_ref[0] = tile_min
+                        minmax_ref[1] = tile_max
+
+                    @pl.when(il > 0)
+                    def _fold_minmax():
+                        minmax_ref[0] = jnp.minimum(minmax_ref[0], tile_min)
+                        minmax_ref[1] = jnp.maximum(minmax_ref[1], tile_max)
 
         if costs_only:
+            if lambda_mode is not None:
+                # In-kernel auto-lambda epilogue: once the final tile's
+                # costs are stored, the full padded [k_pad/128, 128] block
+                # is VMEM-resident, so the same search bodies the
+                # standalone ops/lambda_search.py kernels use run here at
+                # zero launch/HBM cost.  Bounds/target/iters are static
+                # (from MPPIConfig), baked in as f32 constants — the same
+                # values the standalone kernels receive via SMEM params.
+                il = pl.program_id(0)
+
+                @pl.when(il == num_tiles - 1)
+                def _lambda_epilogue():
+                    c = costs_ref[:, :]
+                    lam_min = jnp.float32(config.lambda_min)
+                    lam_max = jnp.float32(config.lambda_max)
+                    if lambda_mode == "essps":
+                        lam_out_ref[0] = essps_bisect(
+                            c, lam_min, lam_max,
+                            jnp.float32(config.target_ess),
+                            config.essps_iters,
+                        )
+                    else:
+                        # range_pen matches lbps_lambda_fused's caller-side
+                        # computation: ratio rounded to f32 first, then an
+                        # f32 sqrt and one f32 mul — bitwise identical
+                        sqrt_ratio = jnp.sqrt(
+                            jnp.float32(
+                                (1.0 - config.lbps_delta) / config.lbps_delta
+                            )
+                        )
+                        range_pen = (
+                            minmax_ref[1] - minmax_ref[0]
+                        ) * sqrt_ratio
+                        lam_out_ref[0] = lbps_golden(
+                            c, lam_min, lam_max, range_pen,
+                            config.lbps_iters,
+                        )
             return
 
         # --- tile-local softmin partials (mppi.py:374-385, 526-532) ---
@@ -526,6 +609,7 @@ def make_fused_solve(
         tile_offset=0,
         dump_pert: bool = False,
         costs_only: bool = False,
+        lambda_mode: Optional[str] = None,
     ):
         """Kernel launch -> (costs [num_local], stats, numer) tile partials.
 
@@ -536,11 +620,29 @@ def make_fused_solve(
         the softmin-partials outputs (discarded by auto-lambda phase 1)
         are dropped and their per-tile reductions skipped; the return is
         then ``(costs,)`` or ``(costs, pert)``.
+
+        With ``lambda_mode`` ('essps' | 'lbps', requires ``costs_only``
+        and an unsharded core), the LBPS/ESSPS lambda search runs as an
+        in-kernel epilogue on the last grid step and the return gains a
+        trailing scalar lambda* — bitwise-equal to the standalone
+        ``ops/lambda_search.py`` kernels (same shared search bodies, same
+        padded block layout) with no second launch and no 400 KB HBM
+        round trip.  The grid then runs under 'arbitrary' semantics (the
+        revisited costs block + the epilogue are cross-tile recurrences),
+        giving up the megacore grid split — see
+        ``supports_lambda_epilogue`` for the policy gate.
         """
         # the only dump consumer is auto-lambda phase 1 (costs_only);
         # the full-solve+dump combination has no caller and stays out of
         # the kernel's positional ref-unpacking protocol
         assert not dump_pert or costs_only, "dump_pert requires costs_only"
+        assert lambda_mode in (None, "essps", "lbps")
+        if lambda_mode is not None:
+            assert costs_only, "lambda_mode requires costs_only"
+            assert local_num_samples is None and not global_padded, (
+                "in-kernel lambda epilogue needs the global cost vector; "
+                "sharded cores use the partitionable XLA search"
+            )
         smem_keys = tuple(sorted(smem_arrays.keys()))
         noise_mode = noise is not None
         _check_prng_available(noise_mode)
@@ -577,9 +679,24 @@ def make_fused_solve(
         out_shape = [
             jax.ShapeDtypeStruct((k_pad // LANES, LANES), jnp.float32),  # costs
         ]
-        out_specs = [
-            pl.BlockSpec((S, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
+        if lambda_mode is None:
+            out_specs = [
+                pl.BlockSpec(
+                    (S, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+        else:
+            # one revisited full-array block: all k_pad costs stay
+            # VMEM-resident across the grid so the last step's lambda
+            # epilogue can read them (k_pad * 4 bytes of VMEM; gated by
+            # supports_lambda_epilogue)
+            out_specs = [
+                pl.BlockSpec(
+                    (k_pad // LANES, LANES),
+                    lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
         if not costs_only:
             for _ in range(2):  # stats, numer partials
                 out_shape.append(
@@ -605,27 +722,47 @@ def make_fused_solve(
                     memory_space=pltpu.VMEM,
                 )
             )
+        scratch_shapes = []
+        if lambda_mode is not None:
+            out_shape.append(jax.ShapeDtypeStruct((1,), jnp.float32))  # lam
+            out_specs.append(
+                pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+            )
+            if lambda_mode == "lbps":
+                # [min, max] of the unpadded costs, folded across tiles
+                scratch_shapes.append(pltpu.SMEM((2,), jnp.float32))
 
         outs = pl.pallas_call(
             functools.partial(
                 kernel, noise_mode=noise_mode, smem_keys=smem_keys,
                 dump_pert=dump_pert, costs_only=costs_only,
+                lambda_mode=lambda_mode,
             ),
             grid=(num_tiles,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            # every tile writes disjoint output blocks (no cross-tile
-            # recurrence), so the grid splits across TensorCores on
-            # megacore chips (v4/v5p have 2 cores; v5e has 1)
+            scratch_shapes=scratch_shapes,
+            # with no lambda epilogue every tile writes disjoint output
+            # blocks (no cross-tile recurrence), so the grid splits across
+            # TensorCores on megacore chips (v4/v5p have 2 cores; v5e has
+            # 1); the epilogue's revisited costs block + SMEM folds are
+            # cross-tile recurrences and need the sequential grid
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)
+                dimension_semantics=(
+                    "arbitrary" if lambda_mode is not None else "parallel",
+                )
             ),
             interpret=interpret,
         )(*args)
         costs = outs[0].reshape(k_pad)[:num_local]
         if costs_only:
-            return (costs, outs[1]) if dump_pert else (costs,)
+            ret = [costs]
+            if dump_pert:
+                ret.append(outs[1])
+            if lambda_mode is not None:
+                ret.append(outs[-1][0])
+            return tuple(ret)
         stats, numer = outs[1], outs[2]
         # numer packs action slot f at (sublane f // 128, lane f % 128);
         # flatten to [tiles, 1024] so combine_partials slices [:d_flat]
@@ -820,4 +957,13 @@ def make_fused_solve(
     solve_core.combine_partials = combine_partials
     # phase-1 pert dump + phase-2 read-back (auto-lambda fast path)
     solve_core.supports_pert_dump = True
+    # In-kernel LBPS/ESSPS lambda epilogue: needs the global cost vector
+    # (unsharded core) and the full padded block VMEM-resident (k_pad * 4
+    # bytes on top of the kernel's working set; 4 MB covers K = 1M, the
+    # same bound as ops/lambda_search.py's standalone kernels).
+    solve_core.supports_lambda_epilogue = (
+        local_num_samples is None
+        and not global_padded
+        and k_pad * 4 <= 4 * 1024 * 1024
+    )
     return solve_core

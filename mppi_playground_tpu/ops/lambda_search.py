@@ -3,9 +3,9 @@
 The XLA auto-lambda loops (``core/autolambda.py``) already avoid the
 reference's host<->device ping-pong (``/root/reference/src/pi_mpc/
 mppi.py:341-370, 526-566``), but each of their fixed iterations re-reads
-the ``[K]`` cost vector from HBM: at the flagship scale (K=100k, 64
+the ``[K]`` cost vector from HBM: at the flagship scale (K=100k, 40
 bisection iterations, ~3 vector passes per ESS evaluation) that is
-~75 MB of HBM traffic per tick for a 400 KB operand.  These kernels load
+~48 MB of HBM traffic per tick for a 400 KB operand.  These kernels load
 the padded cost vector into VMEM **once** and run every iteration
 on-chip — the HBM bill collapses to a single 400 KB read.
 
@@ -63,22 +63,23 @@ def _ess_terms_from_exp(e):
     return jnp.sum(e), jnp.sum(e * e)
 
 
-def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
-    # params: [lam_min, lam_max, target]
-    c = costs_ref[:, :]
-    lam_min = params_ref[0]
-    lam_max = params_ref[1]
-    target = params_ref[2]
+def essps_bisect(c, lam_min, lam_max, target, iters: int):
+    """ESSPS bisection over a VMEM-resident padded [rows, 128] cost block.
 
-    # The softmax shift is lambda-independent: max(-c/lam) = -min(c)/lam
-    # for lam > 0 (scaling by a positive constant is monotone, so the
-    # rounded max commutes).  Hoisting d = min(c) - c out of the loop
-    # drops the per-iteration [K] max-reduce and subtract — each of the
-    # 64 bisection steps is then one mul + exp + two sum-reduces over the
-    # VMEM-resident vector.  exp(d/lam) differs from exp(-c/lam - m) only
-    # in rounding order (one fma vs mul-then-sub), within 1 ulp; the
-    # bisection root moves < f32 resolution (asserted vs scipy in
-    # tests/test_autolambda.py).
+    Shared by the standalone kernel below and the fused solve's in-kernel
+    lambda epilogue (``ops/fused_solve.py``) so the two paths can never
+    diverge arithmetically.  All scalar operands must already be f32.
+
+    The softmax shift is lambda-independent: max(-c/lam) = -min(c)/lam
+    for lam > 0 (scaling by a positive constant is monotone, so the
+    rounded max commutes).  Hoisting d = min(c) - c out of the loop
+    drops the per-iteration [K] max-reduce and subtract — each of the
+    bisection steps is then one mul + exp + two sum-reduces over the
+    VMEM-resident vector.  exp(d/lam) differs from exp(-c/lam - m) only
+    in rounding order (one fma vs mul-then-sub), within 1 ulp; the
+    bisection root moves < f32 resolution (asserted vs scipy in
+    tests/test_autolambda.py).
+    """
     d = jnp.min(c) - c
 
     def ess(lam):
@@ -98,33 +99,39 @@ def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     a, b = lax.fori_loop(0, iters, body, (lam_min, lam_max))
     root = 0.5 * (a + b)
     # bracket clamps match the reference (mppi.py:361-364)
-    out_ref[0] = jnp.where(
+    return jnp.where(
         target <= ess_at_min,
         lam_min,
         jnp.where(target >= ess_at_max, lam_max, root),
     )
 
 
-def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
-    # params: [lam_min, lam_max, delta, range_pen] — the cost-range
-    # penalty term is computed OUTSIDE the kernel (a single XLA max/min
-    # over the unpadded [K] costs): the padding sentinel (+1e30) would
-    # pollute an in-kernel max, and masking it needed two [K]-shaped
-    # int32 iotas of pure VMEM overhead
-    c = costs_ref[:, :]
-    lam_min = params_ref[0]
-    lam_max = params_ref[1]
-    range_pen = params_ref[3]
+def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
+    # params: [lam_min, lam_max, target]
+    out_ref[0] = essps_bisect(
+        costs_ref[:, :], params_ref[0], params_ref[1], params_ref[2], iters
+    )
 
-    # The per-iteration [K] max-reduce is hoisted exactly: for lam > 0,
-    # max(round(c * (-1/lam))) == round(min(c) * (-1/lam)) because scaling
-    # by a positive constant is monotone and f32 rounding preserves order
-    # — so the scalar below reproduces the reduce BITWISE.  (A stronger
-    # hoist — folding the shift into exp((min(c)-c)/lam) — changes
-    # rounding by 1 ulp, and the LBPS objective is flat enough near its
-    # minimum that golden-section then converges to a different plateau
-    # point; measured 3.83 vs 3.33 on a uniform-cost vector.  Bisection on
-    # the monotone ESS is immune, hence the full hoist in _essps_kernel.)
+
+def lbps_golden(c, lam_min, lam_max, range_pen, iters: int):
+    """LBPS golden-section over a VMEM-resident padded [rows, 128] block.
+
+    Shared by the standalone kernel below and the fused solve's in-kernel
+    lambda epilogue (``ops/fused_solve.py``).  ``range_pen`` is the
+    cost-range penalty ``(max - min) * sqrt((1-delta)/delta)`` computed
+    over the UNPADDED costs by the caller (the +1e30 padding sentinel
+    would pollute a naive in-block max).  All scalars must be f32.
+
+    The per-iteration [K] max-reduce is hoisted exactly: for lam > 0,
+    max(round(c * (-1/lam))) == round(min(c) * (-1/lam)) because scaling
+    by a positive constant is monotone and f32 rounding preserves order
+    — so the scalar below reproduces the reduce BITWISE.  (A stronger
+    hoist — folding the shift into exp((min(c)-c)/lam) — changes
+    rounding by 1 ulp, and the LBPS objective is flat enough near its
+    minimum that golden-section then converges to a different plateau
+    point; measured 3.83 vs 3.33 on a uniform-cost vector.  Bisection on
+    the monotone ESS is immune, hence the full hoist in essps_bisect.)
+    """
     cmin = jnp.min(c)
 
     def objective(lam):
@@ -165,7 +172,18 @@ def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     a, b, cc, d, fc, fd = lax.fori_loop(
         0, iters, body, (a, b, cc, d, fc, fd)
     )
-    out_ref[0] = 0.5 * (a + b)
+    return 0.5 * (a + b)
+
+
+def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
+    # params: [lam_min, lam_max, delta, range_pen] — the cost-range
+    # penalty term is computed OUTSIDE the kernel (a single XLA max/min
+    # over the unpadded [K] costs): the padding sentinel (+1e30) would
+    # pollute an in-kernel max, and masking it needed two [K]-shaped
+    # int32 iotas of pure VMEM overhead
+    out_ref[0] = lbps_golden(
+        costs_ref[:, :], params_ref[0], params_ref[1], params_ref[3], iters
+    )
 
 
 def essps_lambda_fused(
@@ -173,7 +191,7 @@ def essps_lambda_fused(
     target_ess: float,
     lambda_min: float,
     lambda_max: float,
-    iters: int = 64,
+    iters: int = 40,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """VMEM-resident ESSPS bisection; same result as ``essps_lambda``."""
@@ -200,7 +218,7 @@ def lbps_lambda_fused(
     delta: float,
     lambda_min: float,
     lambda_max: float,
-    iters: int = 48,
+    iters: int = 32,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """VMEM-resident LBPS golden-section; same result as ``lbps_lambda``."""

@@ -210,6 +210,50 @@ def test_fused_auto_lambda_matches_xla(mode):
     )
 
 
+@pytest.mark.parametrize("mode", ["ESSPS", "LBPS"])
+def test_lambda_epilogue_bitwise_equals_standalone_search(mode):
+    """In-kernel lambda epilogue == standalone search kernel, bitwise.
+
+    The epilogue (ops/fused_solve.py, lambda_mode=...) and the standalone
+    VMEM kernels (ops/lambda_search.py) share the same search bodies
+    (essps_bisect / lbps_golden) over the same padded block layout, so
+    lambda*, the weights, and the update must agree exactly — not just
+    within tolerance.  K is chosen to leave a padded last tile so the
+    epilogue's masked min/max accumulation (LBPS range term) is covered.
+    """
+    cfg = _config(lambda_=mode, num_samples=K - 100)
+    task = _toy_task()
+    dyn, _ = _toy_aos()
+    epi = make_fused_solver(
+        cfg, task, dyn, jit=True, donate_state=False, lambda_epilogue=True
+    )
+    std = make_fused_solver(
+        cfg, task, dyn, jit=True, donate_state=False, lambda_epilogue=False
+    )
+    x0 = jnp.asarray([0.2, 0.1], jnp.float32)
+    noise = (
+        jax.random.normal(
+            jax.random.PRNGKey(13), (K - 100, HORIZON, 1), jnp.float32
+        )
+        * 0.7
+    )
+    st_e, st_s = epi.init(), std.init()
+    for _ in range(2):
+        re_ = epi.solve(st_e, x0, info=_info(), noise=noise)
+        rs = std.solve(st_s, x0, info=_info(), noise=noise)
+        st_e, st_s = re_.state, rs.state
+        assert float(re_.aux.lam) == float(rs.aux.lam)
+        np.testing.assert_array_equal(
+            np.asarray(re_.aux.costs), np.asarray(rs.aux.costs)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(re_.aux.weights), np.asarray(rs.aux.weights)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(re_.action_seq), np.asarray(rs.action_seq)
+        )
+
+
 def test_fused_multi_vreg_long_horizon_matches_xla():
     """d_flat = 160 > 128: action slots span two sublanes of the packed
     numerator tile (the round-2 one-vreg envelope).  Must equal the XLA
