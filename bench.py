@@ -42,6 +42,10 @@ The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 reports against the 100 solves/s north-star target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+``extra.value_mode`` names the serving mode ``value`` reports
+("amortized_episode" normally; "host_driven" if the episode leg failed),
+and ``extra.amortized_windows`` carries the individual windows so
+run-to-run agreement is checkable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -231,7 +235,7 @@ def measure_amortized(env, solver):
             out = run(st, x0, cind)
         jax.block_until_ready(out[1])
         rates.append(3 * EPISODE_TICKS / (time.perf_counter() - t0))
-    return statistics.median(rates)
+    return statistics.median(rates), rates
 
 
 def main() -> None:
@@ -248,6 +252,11 @@ def main() -> None:
     host_driven, rates = measure_host_driven(
         env, solver, tick, windows, iters, warmup=warmup
     )
+    # which serving mode `value` reports — the amortized-episode leg
+    # upgrades this when it succeeds (BENCH_r03 -> r04 changed the
+    # headline's definition; this field makes the artifact self-describing
+    # so cross-round `value` diffs cannot silently compare modes)
+    value_mode = "host_driven"
 
     extra = {
         "host_driven_solves_per_s": round(host_driven, 3),
@@ -297,10 +306,14 @@ def main() -> None:
                 f"pipelined bench failed: {type(exc).__name__}"
             )
         try:
-            amortized = measure_amortized(env, solver)
+            amortized, amortized_windows = measure_amortized(env, solver)
             extra["amortized_solves_per_s"] = round(amortized, 1)
             extra["amortized_solve_ms"] = round(1000.0 / amortized, 3)
+            extra["amortized_windows"] = [
+                round(r, 1) for r in amortized_windows
+            ]
             solves_per_s = amortized  # the drift-proof headline
+            value_mode = "amortized_episode"
         except Exception as exc:  # noqa: BLE001 — headline must survive
             extra["amortized_note"] = (
                 f"episode bench failed: {type(exc).__name__}; "
@@ -354,6 +367,7 @@ def main() -> None:
                 )
         except Exception as exc:  # noqa: BLE001 — headline must survive
             extra["device_note"] = f"kernel-fraction bench failed: {type(exc).__name__}"
+    extra["value_mode"] = value_mode
     result = {
         "metric": f"racing_mppi_solves_per_s_h{HORIZON}_k{NUM_SAMPLES}",
         "value": round(solves_per_s, 3),

@@ -100,16 +100,19 @@ class MPPIConfig:
         if isinstance(self.lambda_, str):
             if self.lambda_ not in AUTO_LAMBDA_MODES:
                 raise ValueError(
-                    "lambda_ must be 'MPO', 'LBPS', 'ESSPS', or a float value."
+                    "lambda_ takes a fixed float temperature or one of the "
+                "auto-tuning modes 'MPO' / 'LBPS' / 'ESSPS'"
                 )
         elif not isinstance(self.lambda_, (float, int)):
             raise ValueError(
-                "lambda_ must be 'MPO', 'LBPS', 'ESSPS', or a float value."
+                "lambda_ takes a fixed float temperature or one of the "
+                "auto-tuning modes 'MPO' / 'LBPS' / 'ESSPS'"
             )
         if self.use_sg_filter:
             if self.sg_window_size % 2 == 0 or self.sg_window_size <= self.sg_poly_order:
                 raise ValueError(
-                    "window_size must be odd and greater than poly_order."
+                    "the SG filter needs an odd sg_window_size larger than "
+                    "sg_poly_order"
                 )
             # mirror padding needs pad <= len(prolonged) - 1 rows to reflect
             # (prolonged = history + action_seq = 2*horizon - 1 rows);

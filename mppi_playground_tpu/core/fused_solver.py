@@ -54,6 +54,27 @@ from mppi_playground_tpu.ops.lambda_search import (
 )
 
 
+def default_lambda_epilogue(device_kind: str) -> bool:
+    """Whether the in-kernel LBPS/ESSPS lambda epilogue defaults ON for a
+    TPU ``device_kind`` string.
+
+    The epilogue (``ops/fused_solve.py`` ``lambda_mode``) makes the
+    phase-1 grid sequential ('arbitrary' dimension semantics), which on
+    megacore chips (v4/v5p: 2 TensorCores per chip) forfeits the 2-core
+    grid split — so those default to the standalone two-phase search
+    kernels (``ops/lambda_search.py``), whose phase-1 grid stays
+    'parallel'.  Single-TensorCore chips (v5e/v6e "lite" cores) never
+    split the grid, so the epilogue's constraint costs nothing there.
+    Expected overheads per path are tabled in docs/ARCHITECTURE.md
+    ("auto-lambda expectation by device class"); results are bitwise
+    identical either way (shared search bodies).
+    """
+    kind = device_kind.lower()
+    # "lite" covers the observed kinds ("TPU v5 lite", "TPU v6 lite");
+    # "v5e"/"v6e"/"v6" cover alternative spellings across jax releases
+    return "lite" in kind or "v5e" in kind or "v6" in kind
+
+
 def make_fused_solver(
     config: MPPIConfig,
     task: FusedTask,
@@ -105,10 +126,10 @@ def make_fused_solver(
 
     if lambda_epilogue is None:
         if jax.default_backend() == "tpu":
-            kind = jax.devices()[0].device_kind.lower()
-            # single-TensorCore chips: the phase-1 grid never splits, so
-            # the epilogue's sequential-grid requirement costs nothing
-            lambda_epilogue = "lite" in kind or "v6" in kind
+            # device-class policy: see default_lambda_epilogue
+            lambda_epilogue = default_lambda_epilogue(
+                jax.devices()[0].device_kind
+            )
         else:
             # interpret mode (CPU tests): no grid split to lose
             lambda_epilogue = True

@@ -25,7 +25,7 @@ def savitzky_golay_coeffs(window_size: int, poly_order: int) -> np.ndarray:
     tests/test_sg_filter.py).  Computed in float64 on host at config time.
     """
     if window_size % 2 == 0 or window_size <= poly_order:
-        raise ValueError("window_size must be odd and greater than poly_order.")
+        raise ValueError("SG coefficients need an odd window_size larger than poly_order")
     half_window = (window_size - 1) // 2
     indices = np.arange(-half_window, half_window + 1, dtype=np.float64)
     vander = np.vander(indices, N=poly_order + 1, increasing=True)

@@ -220,7 +220,8 @@ class RacingEnv:
                 color="blue", zorder=100,
             )
             ax.set_title(
-                f"v: {robot_v:.2f} m/s, accel: {accel:.2f} m/s2, steer: {steer:.2f} rad"
+                f"speed {robot_v:.2f} m/s | accel {accel:.2f} m/s^2 | "
+                f"steer {steer:.2f} rad"
             )
 
         if top_samples is not None:

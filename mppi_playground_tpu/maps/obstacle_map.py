@@ -309,7 +309,8 @@ def generate_random_obstacles(
             num_trial += 1
             if num_trial == max_iteration:
                 raise RuntimeError(
-                    "Cannot generate random obstacles due to reach max iteration."
+                    "random obstacle placement failed: no non-overlapping spot "
+                    f"found within {max_iteration} tries"
                 )
         obstacle_map.add_circle_obstacle(center, radius)
 
@@ -343,6 +344,7 @@ def generate_random_obstacles(
             num_trial += 1
             if num_trial == max_iteration:
                 raise RuntimeError(
-                    "Cannot generate random obstacles due to reach max iteration."
+                    "random obstacle placement failed: no non-overlapping spot "
+                    f"found within {max_iteration} tries"
                 )
         obstacle_map.add_rectangle_obstacle(center, width, height)

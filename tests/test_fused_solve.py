@@ -833,3 +833,24 @@ def test_fused_multi_vreg_two_phase_and_top_samples():
     seqs_x, w_x = diagnostics.top_samples(rx.aux.state_seq_batch, rx.aux.weights, 16)
     np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(seqs_f), np.asarray(seqs_x), atol=5e-3)
+
+
+def test_lambda_epilogue_device_gate_policy():
+    """Pin the per-device-class default for the in-kernel lambda epilogue.
+
+    Single-TensorCore chips (v5e / v6e / v6 lite) default to the epilogue
+    (their phase-1 grid never splits, so its sequential-grid requirement
+    is free); megacore chips (v4 / v5p, 2 TensorCores) default to the
+    standalone two-phase search so phase 1 keeps the 2-core grid split.
+    The expected auto-lambda overheads per path are tabled in
+    docs/ARCHITECTURE.md ("auto-lambda expectation by device class").
+    """
+    from mppi_playground_tpu.core.fused_solver import default_lambda_epilogue
+
+    # single-core device kinds (epilogue ON) — exact strings as reported
+    # by jax.devices()[0].device_kind on those platforms
+    for kind in ("TPU v5 lite", "TPU v5e", "TPU v6 lite", "TPU v6e"):
+        assert default_lambda_epilogue(kind), kind
+    # megacore device kinds (epilogue OFF -> standalone two-phase search)
+    for kind in ("TPU v4", "TPU v5p", "TPU v5"):
+        assert not default_lambda_epilogue(kind), kind
