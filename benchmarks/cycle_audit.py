@@ -322,26 +322,52 @@ def measure_classes(interpret: bool = False) -> dict:
         return sum(st)
 
     def body_gather(phase, ins, st):
-        # idx depends on the carry so the gather cannot be hoisted out of
-        # the loop; overhead (and + add) is subtracted via body_gather_ctl
+        # THROUGHPUT variant: each chain's gather index evolves by a cheap
+        # int recurrence (cannot be hoisted or CSE'd), but the gathers
+        # themselves are independent of each other — mirroring the
+        # kernel's map walk (40 independent gathers per step).  The
+        # composite is and+add+gather+add; body_gather_ctl subtracts the
+        # non-gather part.
         if phase == "init":
-            return tuple(ins)
+            return (tuple(ins), tuple(x ^ 0x5A5A for x in ins))
         if phase == "step":
-            out = []
-            for x in st:
-                idx = x & 127
-                row = jnp.broadcast_to(ins[0][0:1, :] & 63, (8, 128))
-                g = jnp.take_along_axis(row, idx, axis=1)
-                out.append(x + g)
-            return tuple(out)
-        return sum(st).astype(jnp.float32)
+            accs, idxs = st
+            row = jnp.broadcast_to(ins[0][0:1, :] & 63, (8, 128))
+            new_accs, new_idxs = [], []
+            for x, ix in zip(accs, idxs):
+                ix = (ix + 13) & 127
+                g = jnp.take_along_axis(row, ix, axis=1)
+                new_accs.append(x + g)
+                new_idxs.append(ix)
+            return (tuple(new_accs), tuple(new_idxs))
+        return sum(st[0]).astype(jnp.float32)
 
     def body_gather_ctl(phase, ins, st):
         # the gather composite minus the gather itself
         if phase == "init":
+            return (tuple(ins), tuple(x ^ 0x5A5A for x in ins))
+        if phase == "step":
+            accs, idxs = st
+            new_accs, new_idxs = [], []
+            for x, ix in zip(accs, idxs):
+                ix = (ix + 13) & 127
+                new_accs.append(x + ix)
+                new_idxs.append(ix)
+            return (tuple(new_accs), tuple(new_idxs))
+        return sum(st[0]).astype(jnp.float32)
+
+    def body_gather_latency(phase, ins, st):
+        # LATENCY variant: each chain's next gather depends on the last
+        # gather's result — prices the serial-dependent worst case
+        if phase == "init":
             return tuple(ins)
         if phase == "step":
-            return tuple(x + (x & 127) for x in st)
+            out = []
+            row = jnp.broadcast_to(ins[0][0:1, :] & 63, (8, 128))
+            for x in st:
+                g = jnp.take_along_axis(row, x & 127, axis=1)
+                out.append(x + g)
+            return tuple(out)
         return sum(st).astype(jnp.float32)
 
     def body_prng(phase, ins, st):
@@ -357,6 +383,24 @@ def measure_classes(interpret: bool = False) -> dict:
         return sum(st).astype(jnp.float32)
 
     def body_reduce(phase, ins, st):
+        # THROUGHPUT variant: the (8,128)->scalar reduces are independent
+        # across chains (like the kernel's 100 numer reduces); each chain
+        # evolves by one add so the reduce cannot be hoisted, and the
+        # scalar results accumulate into per-chain scalar chains.
+        # Composite = add + reduce (+ scalar add); subtract body_add.
+        if phase == "init":
+            fs = chains_f(ins)
+            return (tuple(fs), tuple(jnp.float32(0.0) for _ in fs))
+        if phase == "step":
+            fs, scs = st
+            fs = tuple(x + 1e-7 for x in fs)
+            scs = tuple(sc + jnp.sum(x) for sc, x in zip(scs, fs))
+            return (fs, scs)
+        fs, scs = st
+        return sum(fs) + sum(scs) * 1e-9
+
+    def body_reduce_latency(phase, ins, st):
+        # LATENCY variant: each reduce feeds the next via a broadcast add
         if phase == "init":
             return tuple(chains_f(ins))
         if phase == "step":
@@ -375,8 +419,10 @@ def measure_classes(interpret: bool = False) -> dict:
         "sincos_2pi": (body_sincos, f32),
         "gather_composite": (body_gather, i32),
         "gather_ctl": (body_gather_ctl, i32),
+        "gather_latency": (body_gather_latency, i32),
         "prng_xor": (body_prng, i32),
         "reduce_saxpy": (body_reduce, f32),
+        "reduce_latency": (body_reduce_latency, f32),
     }
 
     raw = {}
@@ -390,7 +436,10 @@ def measure_classes(interpret: bool = False) -> dict:
         )
         raw[name] = per_comp * 1e9  # ns per composite op
 
-    # decompose composites into per-class costs (ns per vreg-op)
+    # decompose composites into per-class costs (ns per vreg-op);
+    # throughput variants price the budget (the kernel's gathers/reduces
+    # are independent across slots), latency variants are recorded as the
+    # serial-dependent worst case
     mul = raw["mul"]
     add = raw["add"]
     alu = (mul + add) / 2
@@ -404,8 +453,10 @@ def measure_classes(interpret: bool = False) -> dict:
         "sqrt": max(raw["sqrt"] - add, 0.0),
         "sincos_2pi_composite": raw["sincos_2pi"],
         "gather": max(raw["gather_composite"] - raw["gather_ctl"], 0.0),
+        "gather_latency_bound": raw["gather_latency"],
         "prng": max(raw["prng_xor"] - alu, 0.0),
-        "reduce": max(raw["reduce_saxpy"] - alu, 0.0),
+        "reduce": max(raw["reduce_saxpy"] - add, 0.0),
+        "reduce_latency_bound": raw["reduce_latency"],
         "_raw_composites_ns": {k: round(v, 4) for k, v in raw.items()},
     }
     return out

@@ -854,3 +854,37 @@ def test_lambda_epilogue_device_gate_policy():
     # megacore device kinds (epilogue OFF -> standalone two-phase search)
     for kind in ("TPU v4", "TPU v5p", "TPU v5"):
         assert not default_lambda_epilogue(kind), kind
+
+
+def test_lambda_epilogue_vmem_gate_at_4mb_boundary():
+    """The in-kernel epilogue's VMEM gate flips exactly at the 4 MB cost
+    block (k_pad * 4 bytes): K = 1,048,576 (= 4 MiB, the K=1M flagship
+    edge benched in RUNALL_r5.jsonl) is the last supported size; one more
+    sample pads to the next tile and must fall back to the standalone
+    search kernel.  Also pins the sharded/padded exclusions.
+    """
+    from mppi_playground_tpu.ops.fused_solve import TILE, make_fused_solve
+
+    task = _toy_task()
+    at_edge = make_fused_solve(
+        _config(num_samples=1024 * 1024), task, interpret=True
+    )
+    assert at_edge.supports_lambda_epilogue
+
+    over = make_fused_solve(
+        _config(num_samples=1024 * 1024 + 1), task, interpret=True
+    )
+    assert not over.supports_lambda_epilogue
+
+    # sample-sharded cores never run the epilogue (the search needs the
+    # global cost vector)
+    sharded = make_fused_solve(
+        _config(num_samples=4 * TILE), task, interpret=True,
+        local_num_samples=2 * TILE,
+    )
+    assert not sharded.supports_lambda_epilogue
+    padded = make_fused_solve(
+        _config(num_samples=4 * TILE), task, interpret=True,
+        local_num_samples=2 * TILE, global_padded=True,
+    )
+    assert not padded.supports_lambda_epilogue
