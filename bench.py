@@ -33,10 +33,12 @@ Serving modes measured:
   the action of solve t is read back, and reads ride async D2H copies a
   few ticks deep, so the tunnel round trip overlaps device compute and
   later dispatches.  The controller acts on an action that is
-  ``PIPELINE_DEPTH`` ticks stale; MPPI's warm start makes small staleness
-  algorithmically benign (the previous solution is the sampling mean
-  either way), and the depth is recorded so the latency/throughput trade
-  is explicit.
+  ``PIPELINE_DEPTH`` ticks stale; the control-quality cost of that
+  staleness is measured per-depth in benchmarks/pipelined_quality.py
+  (docs/ARCHITECTURE.md table: depth 1-2 near-strict quality with
+  delay compensation, deeper depths degrade fast-timescale plants),
+  and the depth is recorded so the latency/throughput trade is
+  explicit.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 reports against the 100 solves/s north-star target.
@@ -148,10 +150,12 @@ def measure_host_pipelined(
     dispatches instead of serializing with them.
 
     Staleness contract: the controller acts on the action of a solve
-    ``depth`` ticks old.  MPPI's warm start keeps small staleness benign —
-    the previous solution remains the sampling mean either way — and a
-    deployment picks ``depth`` to its latency budget (depth=1 already
-    overlaps one full round trip).
+    ``depth`` ticks old.  A deployment picks ``depth`` against the
+    measured per-depth control-quality cost
+    (benchmarks/pipelined_quality.py; docs/ARCHITECTURE.md table —
+    depth 1-2 is near-strict quality with delay compensation, depth 4
+    measurably degrades fast-timescale plants); depth=1 already
+    overlaps one full round trip.
     """
     import collections
 

@@ -66,40 +66,16 @@ def _time_scan(make_kernel_call, seed0):
     return statistics.median(rates) * 1e3
 
 
-def main() -> None:
-    from mppi_playground_tpu.core.config import MPPIConfig
-    from mppi_playground_tpu.envs.racing_env import RacingEnv
+def build_variants(env, base_task):
+    """Ablated (dynamics, stage_cost, vmem_args) triples of the flagship
+    kernel — shared by this harness and the cycle audit's in-context
+    per-class cost fit (benchmarks/cycle_audit.py --fit)."""
     from mppi_playground_tpu.models.bicycle import make_dynamics_soa
-    from mppi_playground_tpu.models.racing_mpcc import (
-        calc_ref_trajectory,
-        make_mpcc_cost_soa,
-        make_racing_fused_task_from_env,
-    )
-    from mppi_playground_tpu.ops.fused_solve import FusedTask, make_fused_solve
+    from mppi_playground_tpu.models.racing_mpcc import make_mpcc_cost_soa
     from mppi_playground_tpu.ops.row_intervals import interval_query
 
-    env = RacingEnv()
-    config = MPPIConfig(
-        horizon=HORIZON, num_samples=SAMPLES, dim_state=4, dim_control=2,
-        u_min=tuple(float(v) for v in env.u_min.tolist()),
-        u_max=tuple(float(v) for v in env.u_max.tolist()),
-        sigmas=(0.5, 0.1), lambda_=1.0, store_rollouts=False,
-    )
-    base_task = make_racing_fused_task_from_env(env)
     x_lim = tuple(env.obstacle_map.x_lim)
     y_lim = tuple(env.obstacle_map.y_lim)
-
-    x0 = env.reset()
-    path = env.racing_center_path
-    cind = jnp.asarray(0, jnp.int32)
-    xref, _ = jax.jit(lambda x, c: calc_ref_trajectory(x, path, c, HORIZON))(
-        x0, cind
-    )
-    info = {"reference_path": xref}
-    lam = jnp.asarray(1.0, jnp.float32)
-    seed = jnp.asarray(1234, jnp.int32)
-    prev = jnp.zeros((HORIZON, 2), jnp.float32)
-
     full_cost = make_mpcc_cost_soa()
 
     def no_maps_cost(xs, us, ctx):
@@ -138,7 +114,7 @@ def main() -> None:
         ntheta = theta + 0.1 * nv * steer
         return (nx, ny, ntheta, nv)
 
-    variants = {
+    return {
         "full": (dyn, full_cost, base_task.vmem_args),
         "no_maps": (dyn, no_maps_cost, {}),
         "obstacle_only": (dyn, obstacle_only_cost,
@@ -149,6 +125,38 @@ def main() -> None:
         "full_no_tan_dyn": (dyn_no_tan, full_cost, base_task.vmem_args),
         "zero_cost_no_tan": (dyn_no_tan, zero_cost, {}),
     }
+
+
+def main() -> None:
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.envs.racing_env import RacingEnv
+    from mppi_playground_tpu.models.racing_mpcc import (
+        calc_ref_trajectory,
+        make_racing_fused_task_from_env,
+    )
+    from mppi_playground_tpu.ops.fused_solve import FusedTask, make_fused_solve
+
+    env = RacingEnv()
+    config = MPPIConfig(
+        horizon=HORIZON, num_samples=SAMPLES, dim_state=4, dim_control=2,
+        u_min=tuple(float(v) for v in env.u_min.tolist()),
+        u_max=tuple(float(v) for v in env.u_max.tolist()),
+        sigmas=(0.5, 0.1), lambda_=1.0, store_rollouts=False,
+    )
+    base_task = make_racing_fused_task_from_env(env)
+
+    x0 = env.reset()
+    path = env.racing_center_path
+    cind = jnp.asarray(0, jnp.int32)
+    xref, _ = jax.jit(lambda x, c: calc_ref_trajectory(x, path, c, HORIZON))(
+        x0, cind
+    )
+    info = {"reference_path": xref}
+    lam = jnp.asarray(1.0, jnp.float32)
+    seed = jnp.asarray(1234, jnp.int32)
+    prev = jnp.zeros((HORIZON, 2), jnp.float32)
+
+    variants = build_variants(env, base_task)
 
     results = {}
     for name, (d, c, vmem) in variants.items():

@@ -649,9 +649,157 @@ def measure_kernel_ms(core, x0, smem) -> float:
     return statistics.median(ts) * 1e3
 
 
+# ---------------------------------------------------------------------------
+# in-context per-class cost fit over measured ablation variants
+# ---------------------------------------------------------------------------
+
+# grouped classes for the fit (individual microbench classes are too
+# optimizer-sensitive to price in isolation; these four explain the
+# variant matrix with full rank):
+#   issue    — every 1-slot VPU vector op (alu/cmp/select/floor)
+#   layout   — reshape/broadcast/slice (may lower to real ops or be free)
+#   gather   — dynamic lane-gather
+#   noisegen — PRNG draws + Box-Muller log/sqrt (constant across variants;
+#              resolves from the zero-cost baselines)
+#   reduce   — [8,128]->scalar reductions + the softmin exp
+_FIT_GROUPS = {
+    "issue": ("alu", "cmp", "select", "floor"),
+    "layout": ("layout",),
+    "gather": ("gather",),
+    "noisegen": ("prng", "log", "sqrt"),
+    "reduce": ("reduce", "exp"),
+}
+
+
+def _group_counts(counts: dict) -> dict:
+    out = {}
+    for g, members in _FIT_GROUPS.items():
+        out[g] = sum(counts.get(m, 0) for m in members)
+    return out
+
+
+def fit_in_context_costs():
+    """Least-squares per-class costs fitted from measured ablation kernels.
+
+    Builds the `benchmarks/ablate_kernel.py` variants plus a full-solve
+    (softmin+numer) variant, counts each one's pallas jaxpr classes
+    exactly, measures each as a 50-iteration scan on hardware, and solves
+    nonneg-least-squares  A @ t = y  for per-class ns/vreg-op — the
+    in-context prices (including whatever overlap the real instruction
+    mix achieves), which the standalone microbenches cannot see.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from scipy.optimize import nnls
+
+    from benchmarks.ablate_kernel import build_variants
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.envs.racing_env import RacingEnv
+    from mppi_playground_tpu.models.racing_mpcc import (
+        calc_ref_trajectory,
+        make_racing_fused_task_from_env,
+    )
+    from mppi_playground_tpu.ops.fused_solve import FusedTask, make_fused_solve
+
+    env = RacingEnv()
+    config = MPPIConfig(
+        horizon=HORIZON, num_samples=K, dim_state=4, dim_control=2,
+        u_min=tuple(float(v) for v in env.u_min.tolist()),
+        u_max=tuple(float(v) for v in env.u_max.tolist()),
+        sigmas=(0.5, 0.1), lambda_=1.0, store_rollouts=False,
+    )
+    base_task = make_racing_fused_task_from_env(env)
+    x0 = env.reset()
+    xref, _ = jax.jit(
+        lambda x: calc_ref_trajectory(
+            x, env.racing_center_path, jnp.asarray(0, jnp.int32), HORIZON
+        )
+    )(x0)
+    info = {"reference_path": xref}
+    lam = jnp.asarray(1.0, jnp.float32)
+    prev = jnp.zeros((HORIZON, 2), jnp.float32)
+    seedv = jnp.asarray(1234, jnp.int32)
+
+    def measure(call):
+        def scan(seed):
+            def body(carry, _):
+                sd, acc = carry
+                costs = call(sd)
+                return (sd + 1 + (costs[0] > 1e30).astype(jnp.int32),
+                        acc + costs[0]), None
+
+            (sd, acc), _ = lax.scan(body, (seed, 0.0), None, length=50)
+            return acc
+
+        fn = jax.jit(scan)
+        out = fn(seedv)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn(seedv)
+            jax.block_until_ready(out)
+            ts.append((time.perf_counter() - t0) / (3 * 50))
+        return statistics.median(ts) * 1e3
+
+    rows = []  # (name, grouped counts, measured ms)
+    for name, (d, c, vmem) in build_variants(env, base_task).items():
+        task = FusedTask(dynamics_soa=d, stage_cost_soa=c, vmem_args=vmem,
+                         smem_builder=base_task.smem_builder)
+        core = make_fused_solve(config, task)
+        smem = task.smem_builder(info)
+
+        def costs_call(sd, core=core, smem=smem):
+            (costs,) = core.run_kernel(
+                x0, prev, lam, sd, smem, costs_only=True
+            )
+            return costs
+
+        counts = count_classes(
+            lambda sd: costs_call(sd), seedv
+        )
+        rows.append((name, _group_counts(counts), measure(costs_call)))
+        if name == "full":
+            # full-solve point: adds the softmin/numer tail (reduce col)
+            def full_call(sd, core=core, smem=smem):
+                costs, stats, numer = core.run_kernel(
+                    x0, prev, lam, sd, smem
+                )
+                return costs
+
+            counts = count_classes(lambda sd: full_call(sd), seedv)
+            rows.append(
+                ("full_solve", _group_counts(counts), measure(full_call))
+            )
+
+    classes = list(_FIT_GROUPS.keys())
+    A = np.array(
+        [[r[1][cl] for cl in classes] for r in rows], dtype=np.float64
+    )
+    y = np.array([r[2] for r in rows], dtype=np.float64)
+    # counts are per tile; scale to ms per ns-per-op: ms = n*98*1e-6 * t_ns
+    scale = 98 * 1e-6
+    t, rnorm = nnls(A * scale, y)
+    fitted = dict(zip(classes, [round(v, 4) for v in t]))
+    pred = (A * scale) @ t
+    per_variant = {
+        r[0]: {"measured_ms": round(r[2], 4), "fitted_ms": round(p, 4),
+               "counts": r[1]}
+        for r, p in zip(rows, pred)
+    }
+    return fitted, per_variant, float(rnorm)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--count", action="store_true", help="skip measurement")
+    ap.add_argument(
+        "--fit", action="store_true",
+        help="also fit in-context per-class costs over the measured "
+        "ablation variants (TPU; ~10 extra kernel compiles)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -686,6 +834,22 @@ def main() -> None:
     }
 
     if not args.count and on_tpu:
+        if args.fit:
+            fitted, per_variant, rnorm = fit_in_context_costs()
+            grouped = _group_counts(result["per_tile_vreg_ops"])
+            fit_budget = {
+                cl: round(grouped[cl] * fitted[cl] * 98 * 1e-6, 4)
+                for cl in fitted
+            }
+            result["fit"] = {
+                "fitted_ns_per_vreg_op": fitted,
+                "budget_ms_per_group_full_kernel": fit_budget,
+                "per_variant": per_variant,
+                "residual_norm_ms": round(rnorm, 4),
+                "note": "nonneg least squares over measured ablation "
+                "kernels with exactly counted class totals — in-context "
+                "prices including the real mix's dual-issue overlap",
+            }
         per_op = measure_classes(interpret=False)
         measured_ms = measure_kernel_ms(core, x0, smem)
         budget = {}

@@ -31,11 +31,30 @@ def main(
     debug: bool = False,
     fused: bool = False,
     episode: bool = False,
+    pipelined: int = 0,
+    no_compensate: bool = False,
 ):
     env = RacingEnv()
     from mppi_playground_tpu.ops.fused_solve import resolve_fused_request
 
     fused = resolve_fused_request(fused)
+
+    if pipelined:
+        # --pipelined N: drive the real-time serving mode
+        # (core.closed_loop.PipelinedRunner): every tick dispatches a
+        # solve from the current state, but the applied action comes from
+        # the solve N ticks ago (row N of that plan unless
+        # --no-compensate).  Keeps N solves in flight so the device/tunnel
+        # round trip overlaps compute — bench.py measures ~5x the
+        # strict-sync rate at depth 4 through a ~24 ms tunnel.  The
+        # control-quality cost of the staleness is measured in
+        # benchmarks/pipelined_quality.py (docs/ARCHITECTURE.md table).
+        run_pipelined(
+            env, depth=pipelined, compensate=not no_compensate,
+            max_steps=max_steps, render=render, fused=fused,
+            save_mode=save_mode,
+        )
+        return
     # --fused: one Pallas kernel per tick; rollouts stay implicit and the
     # top-sample overlay is regenerated from the solve's PRNG seeds
     controller = RacingController(
@@ -104,6 +123,75 @@ def main(
     env.close()
 
 
+def run_pipelined(env, depth, compensate, max_steps, render, fused,
+                  save_mode=False):
+    """Closed racing loop through :class:`PipelinedRunner` (product API)."""
+    import jax
+    import numpy as np
+
+    from mppi_playground_tpu.core.closed_loop import PipelinedRunner
+    from mppi_playground_tpu.core.config import MPPIConfig
+    from mppi_playground_tpu.core.fused_solver import make_fused_solver
+    from mppi_playground_tpu.core.solver import make_solver
+    from mppi_playground_tpu.models.racing_mpcc import (
+        calc_ref_trajectory,
+        make_mpcc_cost,
+        make_racing_fused_task_from_env,
+    )
+
+    config = MPPIConfig(
+        horizon=25, num_samples=4000, dim_state=4, dim_control=2,
+        u_min=tuple(float(v) for v in env.u_min.tolist()),
+        u_max=tuple(float(v) for v in env.u_max.tolist()),
+        sigmas=(0.5, 0.1), lambda_=1.0, store_rollouts=False,
+    )
+    if fused:
+        solver = make_fused_solver(
+            config, make_racing_fused_task_from_env(env), env.dynamics
+        )
+    else:
+        solver = make_solver(
+            config,
+            env.dynamics,
+            make_mpcc_cost(env.obstacle_cost_map, env.lane_cost_map),
+        )
+    runner = PipelinedRunner(solver, depth=depth, compensate=compensate)
+
+    path = env.racing_center_path
+    calc_ref = jax.jit(
+        lambda x, cind: calc_ref_trajectory(x, path, cind, config.horizon)
+    )
+    state = env.reset()
+    cind = jnp.asarray(0, jnp.int32)
+    tick_times = []
+    for i in range(max_steps):
+        xref, cind = calc_ref(jnp.asarray(state), cind)
+        start = time.time()
+        u = runner.step(
+            jnp.asarray(state), info={"reference_path": xref}
+        )
+        tick_times.append(time.time() - start)
+        state, is_goal_reached = env.step(jnp.asarray(u))
+        if render:
+            env.render(
+                action=jnp.asarray(u),
+                reference_trajectory=np.asarray(xref),
+                mode="rgb_array" if save_mode else "human",
+            )
+        if is_goal_reached:
+            print("Goal Reached!")
+            break
+    if len(tick_times) > depth:
+        steady = tick_times[depth + 1:] or tick_times
+        avg = sum(steady) / len(steady)
+        print(
+            f"pipelined depth={depth} compensate={compensate}: "
+            f"{len(tick_times)} ticks, avg step {avg * 1000:.3f} ms "
+            f"(dispatch + stale-action read; excludes env/render)"
+        )
+    env.close()
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--save-mode", action="store_true")
@@ -112,6 +200,16 @@ if __name__ == "__main__":
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--fused", action="store_true")
     parser.add_argument("--episode", action="store_true")
+    parser.add_argument(
+        "--pipelined", type=int, default=0, metavar="DEPTH",
+        help="real-time serving demo: keep DEPTH solves in flight "
+        "(PipelinedRunner); 0 = classic strict loop",
+    )
+    parser.add_argument(
+        "--no-compensate", action="store_true",
+        help="with --pipelined: apply the stale plan's row 0 instead of "
+        "its row DEPTH (no receding-horizon delay compensation)",
+    )
     args = parser.parse_args()
     main(
         save_mode=args.save_mode,
@@ -120,4 +218,6 @@ if __name__ == "__main__":
         debug=args.debug,
         fused=args.fused,
         episode=args.episode,
+        pipelined=args.pipelined,
+        no_compensate=args.no_compensate,
     )

@@ -131,6 +131,17 @@ class PipelinedRunner:
     (the first ``depth`` calls) the newest plan's row 0 is returned,
     which blocks on that solve — a one-time ramp.
 
+    **Pick ``depth`` against measured control-quality cost, not just
+    latency.**  Closed-loop measurements (benchmarks/pipelined_quality.py
+    via the bit-identical scan harness :func:`make_pipelined_closed_loop`;
+    table in docs/ARCHITECTURE.md; regression-bounded in
+    tests/test_pipelined_quality.py): on the pendulum swing-up (0.05 s
+    ticks, 0.75 s horizon) depth 1-2 costs +3-7% episode cost with
+    compensation, while depth 4 (a 0.2 s actuation delay) is NOT benign —
+    ~3.4x episode cost and no stabilization.  Slower-timescale plants
+    (racing MPCC at 8 m/s, 0.1 s ticks) tolerate deeper pipelines; see
+    the per-env table before shipping a depth.
+
     The loop semantics match ``bench.py``'s
     ``host_synced_pipelined_solves_per_s`` mode, which measures this
     pattern at flagship scale (≈#depth-independent dispatch-pipelined
@@ -272,6 +283,75 @@ def make_closed_loop(
             length=num_ticks,
         )
         return st, xf, xs, us, c, {"done": done, "ticks": ticks}
+
+    return jax.jit(run) if jit else run
+
+
+def make_pipelined_closed_loop(
+    solver,
+    plant_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    num_ticks: int,
+    depth: int,
+    compensate: bool = True,
+    info_fn: Optional[Callable[[Any, jnp.ndarray], Any]] = None,
+    jit: bool = True,
+):
+    """Closed loop with :class:`PipelinedRunner`'s staleness semantics,
+    scanned on device.
+
+    Bit-for-bit the action schedule of a ``PipelinedRunner(solver, depth,
+    compensate)`` host loop (asserted in tests/test_pipelined_quality.py):
+    tick ``t`` dispatches a solve from the *current* plant state, but the
+    action applied is from the solve of tick ``t - depth`` — row
+    ``min(depth, horizon-1)`` with ``compensate`` (the stale plan's
+    intention for the current wall-clock tick), row 0 without.  The first
+    ``depth`` ticks apply the newest plan's row 0 (pipeline fill).  Solver
+    state still chains solve-to-solve (MPPI's warm start is staleness-
+    independent).  ``depth=0`` degenerates to the strict-sync loop.
+
+    This is the *evaluation* harness for the pipelined serving mode: it
+    runs the staleness semantics at amortized-episode speed so the
+    control-quality cost of ``depth`` can be measured (the numbers behind
+    the "small staleness" guidance in :class:`PipelinedRunner` — see
+    benchmarks/pipelined_quality.py and docs/ARCHITECTURE.md).  Build the
+    solver with ``jit=False``; this loop is the jit unit.
+
+    Returns ``run(state, x0, carry=None) -> (state, x_final,
+    xs [num_ticks, n], us [num_ticks, m], final_carry)``.
+    """
+    if depth < 0:
+        raise ValueError(f"depth must be >= 0, got {depth}")
+    horizon = solver.config.horizon
+    row = min(depth, horizon - 1) if compensate else 0
+
+    def run(state: MPPIState, x0: jnp.ndarray, carry: Any = None):
+        dim_control = solver.config.dim_control
+        dtype = solver.config.dtype
+
+        def tick(loop_carry, t):
+            st, x, c, queue = loop_carry
+            if info_fn is not None:
+                info, c_next = info_fn(c, x)
+            else:
+                info, c_next = None, c
+            result = solver.solve(st, x, info=info)
+            plan = result.action_seq
+            if depth == 0:
+                u = plan[0]
+                queue_next = queue
+            else:
+                # queue[0] is the plan of tick t-depth once filled
+                u = jnp.where(t < depth, plan[0], queue[0, row])
+                queue_next = jnp.concatenate([queue[1:], plan[None]])
+            return (result.state, plant_fn(x, u), c_next, queue_next), (x, u)
+
+        queue0 = jnp.zeros((max(depth, 1), horizon, dim_control), dtype)
+        (st, xf, c, _), (xs, us) = lax.scan(
+            tick,
+            (state, jnp.asarray(x0), carry, queue0),
+            jnp.arange(num_ticks),
+        )
+        return st, xf, xs, us, c
 
     return jax.jit(run) if jit else run
 

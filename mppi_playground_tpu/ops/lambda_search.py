@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # tile geometry shared with the fused solve kernel (single source)
-from mppi_playground_tpu.ops.fused_solve import LANES, TILE as _TILE
+from mppi_playground_tpu.ops.fused_solve import LANES, SUBLANES, TILE as _TILE
 
 # The kernel holds the padded [rows, 128] costs plus two [K]-shaped f32
 # temporaries per ESS evaluation (s and e) in VMEM: peak ~3 * 4 * K bytes
@@ -58,9 +58,27 @@ def _pad_costs(costs: jnp.ndarray) -> jnp.ndarray:
     return costs.reshape(k_pad // LANES, LANES).astype(jnp.float32)
 
 
-def _ess_terms_from_exp(e):
-    """(z, sum e^2) softmin partials from pre-shifted exponentials."""
-    return jnp.sum(e), jnp.sum(e * e)
+def _vreg_chunks(x):
+    """[rows, 128] -> [rows/8, 8, 128] (whole [8,128] vreg chunks).
+
+    The padded cost block always has rows % 8 == 0 (``_pad_costs`` pads K
+    to whole 1024-sample tiles).  Search-loop reductions accumulate over
+    the chunk axis into one [8,128] vreg FIRST and only then collapse to
+    a scalar: a lane-parallel add per chunk instead of a full cross-lane
+    reduction per chunk, which measured ~5x faster per search iteration
+    at K=100k (ABLATE_r5.jsonl ``lambda_iter_cost_*``).  Reduction ORDER
+    differs from a flat ``jnp.sum`` by f32 rounding only; the tests pin
+    the search results against scipy/XLA at the same tolerances as
+    before.
+    """
+    rows = x.shape[0]
+    return x.reshape(rows // SUBLANES, SUBLANES, LANES)
+
+
+def _ess_terms_from_exp(e3):
+    """(z, sum e^2) softmin partials from pre-shifted exponentials
+    (``e3`` in [chunks, 8, 128] layout — see ``_vreg_chunks``)."""
+    return jnp.sum(e3.sum(axis=0)), jnp.sum((e3 * e3).sum(axis=0))
 
 
 def essps_bisect(c, lam_min, lam_max, target, iters: int):
@@ -80,11 +98,11 @@ def essps_bisect(c, lam_min, lam_max, target, iters: int):
     bisection root moves < f32 resolution (asserted vs scipy in
     tests/test_autolambda.py).
     """
-    d = jnp.min(c) - c
+    d3 = _vreg_chunks(jnp.min(c) - c)
 
     def ess(lam):
-        e = jnp.exp(d * (1.0 / lam))
-        z, sq = _ess_terms_from_exp(e)
+        e3 = jnp.exp(d3 * (1.0 / lam))
+        z, sq = _ess_terms_from_exp(e3)
         return z * z / sq
 
     ess_at_min = ess(lam_min)
@@ -133,18 +151,24 @@ def lbps_golden(c, lam_min, lam_max, range_pen, iters: int):
     the monotone ESS is immune, hence the full hoist in essps_bisect.)
     """
     cmin = jnp.min(c)
+    c3 = _vreg_chunks(c)
 
     def objective(lam):
-        # negated LBPS lower bound (mppi.py:534-557), identical arithmetic
-        # to core.autolambda.lbps_objective up to the softmax formulation;
-        # z and sum(e^2) come from the shared _ess_terms partials, plus
-        # one extra weighted-cost reduction
-        s = c * (-1.0 / lam)
-        e = jnp.exp(s - cmin * (-1.0 / lam))
-        z, sq = _ess_terms_from_exp(e)
-        ess = (z * z) / sq
-        expected_return = -jnp.sum(e * c) / z
-        return -(expected_return - range_pen / jnp.sqrt(ess))
+        # negated LBPS lower bound (mppi.py:534-557), same math as
+        # core.autolambda.lbps_objective up to the softmax formulation.
+        # Algebraic form: -(E[-c] - pen/sqrt(ess)) with ess = z^2/sq and
+        # E[-c] = -sum(e*c)/z collapses to (sum(e*c) + pen*sqrt(sq)) / z
+        # — one scalar divide and no ess intermediate.  The search loop
+        # is serialized on these scalars (each golden iteration's
+        # vector pass waits on the previous comparison), so trimming the
+        # scalar tail cuts measured per-iteration cost; lambda* agrees
+        # with the expanded form to f32 rounding (tests pin vs scipy/XLA
+        # at the same tolerances as before).
+        s3 = c3 * (-1.0 / lam)
+        e3 = jnp.exp(s3 - cmin * (-1.0 / lam))
+        z, sq = _ess_terms_from_exp(e3)
+        wc = jnp.sum((e3 * c3).sum(axis=0))
+        return (wc + range_pen * jnp.sqrt(sq)) / z
 
     invphi = jnp.float32((5.0**0.5 - 1.0) / 2.0)
     a = lam_min

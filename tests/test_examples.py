@@ -168,3 +168,12 @@ def test_make_media_fast(tmp_path, monkeypatch):
     for name in ("pendulum", "cartpole", "mountaincar"):
         p = tmp_path / f"{name}.gif"
         assert p.exists() and os.path.getsize(p) > 0, name
+
+
+@pytest.mark.slow
+def test_racing_example_pipelined_mode(capsys):
+    """--pipelined N: the PipelinedRunner serving demo closes the loop."""
+    from examples import racing as ex
+
+    ex.main(save_mode=False, max_steps=4, render=False, pipelined=2)
+    assert "pipelined depth=2" in capsys.readouterr().out
