@@ -114,24 +114,54 @@ class FusedTask:
     smem_builder: Callable[[Dict[str, Any]], Dict[str, jnp.ndarray]]
 
 
-def _normal_pair(shape):
+def _normal_pair_from_bits(b1, b2):
     """Two independent standard-normal vregs per Box–Muller transform.
 
-    Using both the cos and sin branches halves the PRNG draws and the
-    log/sqrt transcendentals per normal; the sin/cos themselves are the
-    shared polynomial kernel (theta is uniform in [0, 2*pi) by
+    Using both the cos and sin branches halves the raw-bit consumption
+    and the log/sqrt transcendentals per normal; the sin/cos themselves
+    are the shared polynomial kernel (theta is uniform in [0, 2*pi) by
     construction — exactly ``sincos_2pi``'s domain), leaving log and
     sqrt as the pair's only special-pipe ops.
     """
-    # prng_random_bits yields signed int32 vregs; mask to 24 uniform bits
-    b1 = pltpu.prng_random_bits(shape) & 0xFFFFFF
-    b2 = pltpu.prng_random_bits(shape) & 0xFFFFFF
+    # raw bits are signed int32 vregs; mask to 24 uniform bits
+    b1 = b1 & 0xFFFFFF
+    b2 = b2 & 0xFFFFFF
     # -> uniform in [2^-25, 1): strictly positive for the log
     u1 = b1.astype(jnp.float32) * (2.0**-24) + (2.0**-25)
     u2 = b2.astype(jnp.float32) * (2.0**-24)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     sin_t, cos_t = sincos_2pi(_TWO_PI * u2)
     return r * cos_t, r * sin_t
+
+
+def _draw_normals(d_flat: int, sublanes: int):
+    """All ``d_flat`` per-slot normal vregs from ONE wide PRNG draw.
+
+    One ``prng_random_bits`` call per kernel instance instead of
+    ``d_flat`` sequential (S, 128) draws.  The hardware PRNG advances
+    its state per draw call, so per-pair draws would form a
+    d_flat-deep serial dependency chain; with the bits materialized up
+    front the Box-Muller pairs are independent chains the scheduler can
+    pipeline.  Measured effect on the flagship kernel: neutral (0.724
+    vs 0.725-0.76 ms across sessions — the old chain was already hidden;
+    ROOFLINE_r5.json "attacks" table), kept because it removes the
+    serialization hazard at zero cost.  The raw bit STREAM is unchanged
+    (same generator state advance); only its reshaping into slots
+    differs from the old per-pair draws — phase-2 regeneration, the
+    pert dump, and diagnostics replay all share this function, so
+    cross-phase bit-exactness is preserved (asserted on hardware by
+    benchmarks/tpu_native_checks.py).
+    """
+    pairs = (d_flat + 1) // 2
+    raw = pltpu.prng_random_bits((2 * pairs * sublanes, LANES))
+    zs = []
+    for i in range(pairs):
+        b1 = raw[(2 * i) * sublanes:(2 * i + 1) * sublanes, :]
+        b2 = raw[(2 * i + 1) * sublanes:(2 * i + 2) * sublanes, :]
+        z1, z2 = _normal_pair_from_bits(b1, b2)
+        zs.append(z1)
+        zs.append(z2)
+    return zs
 
 
 def fused_envelope(config) -> bool:
@@ -396,11 +426,7 @@ def make_fused_solve(
             pltpu.prng_seed(_mix_seed(seed_ref[0], i))
         use_prev = sidx < threshold
         if not noise_mode:
-            zs = []
-            for _ in range((d_flat + 1) // 2):
-                z1, z2 = _normal_pair((S, LANES))
-                zs.append(z1)
-                zs.append(z2)
+            zs = _draw_normals(d_flat, S)
         pert = []  # [T][m] arrays of [S,128]
         for t in range(horizon):
             row = []
