@@ -40,6 +40,7 @@ enable_compilation_cache()
 
 DEPTHS = ((0, True), (1, True), (1, False), (2, True), (2, False),
           (4, True), (4, False))
+SEEDS = (42, 7, 1234)
 
 
 def _report(workload, depth, compensate, **metrics):
@@ -125,17 +126,24 @@ def run_racing(ticks: int) -> None:
         run = make_pipelined_closed_loop(
             solver, plant, ticks, depth, compensate=comp, info_fn=info_fn
         )
-        st = solver.init()
-        _, xf, xs, us, cind = run(st, x0, jnp.asarray(0, jnp.int32))
-        prog, col, off, speed, goal_tick = jax.device_get(
-            episode_metrics(xs, cind)
-        )
+        # the compiled runner is seed-independent: episodes across seeds
+        # cost one run each, so the reported metrics are seed-averaged
+        per_seed = []
+        for seed in SEEDS:
+            st = solver.init(seed=seed)
+            _, xf, xs, us, cind = run(st, x0, jnp.asarray(0, jnp.int32))
+            per_seed.append([float(v) for v in jax.device_get(
+                episode_metrics(xs, cind))])
+        mean = [sum(col) / len(col) for col in zip(*per_seed)]
+        goal_ticks = [row[4] for row in per_seed]
         _report(
             "racing", depth, comp,
-            progress=int(prog), collision_ticks=int(col),
-            off_lane_ticks=int(off), mean_speed=round(float(speed), 3),
-            goal_tick=int(goal_tick), ticks=ticks,
-            workload="racing MPCC T=25 K=4000",
+            progress=round(mean[0], 1), collision_ticks=round(mean[1], 1),
+            off_lane_ticks=round(mean[2], 1),
+            mean_speed=round(mean[3], 3),
+            goal_ticks_per_seed=[int(g) for g in goal_ticks],
+            seeds=list(SEEDS), ticks=ticks,
+            workload_detail="racing MPCC T=25 K=4000",
         )
 
 
@@ -194,14 +202,21 @@ def run_navigation(ticks: int) -> None:
         run = make_pipelined_closed_loop(
             solver, plant, ticks, depth, compensate=comp
         )
-        st = solver.init()
-        _, xf, xs, us, _ = run(st, x0)
-        col, goal_tick, cost, min_dist = jax.device_get(episode_metrics(xs))
+        per_seed = []
+        for seed in SEEDS:
+            st = solver.init(seed=seed)
+            _, xf, xs, us, _ = run(st, x0)
+            per_seed.append([float(v) for v in jax.device_get(
+                episode_metrics(xs))])
+        mean = [sum(col) / len(col) for col in zip(*per_seed)]
+        goal_ticks = [int(row[1]) for row in per_seed]
         _report(
             "navigation2d", depth, comp,
-            cost=round(float(cost), 1), collision_ticks=int(col),
-            goal_tick=int(goal_tick), min_goal_dist=round(float(min_dist), 3),
-            ticks=ticks, workload="navigation2d T=30 K=3000",
+            cost=round(mean[2], 1), collision_ticks=round(mean[0], 1),
+            goal_ticks_per_seed=goal_ticks,
+            min_goal_dist=round(mean[3], 3),
+            seeds=list(SEEDS), ticks=ticks,
+            workload_detail="navigation2d T=30 K=3000",
         )
 
 

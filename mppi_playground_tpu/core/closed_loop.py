@@ -131,16 +131,21 @@ class PipelinedRunner:
     (the first ``depth`` calls) the newest plan's row 0 is returned,
     which blocks on that solve — a one-time ramp.
 
-    **Pick ``depth`` against measured control-quality cost, not just
-    latency.**  Closed-loop measurements (benchmarks/pipelined_quality.py
-    via the bit-identical scan harness :func:`make_pipelined_closed_loop`;
-    table in docs/ARCHITECTURE.md; regression-bounded in
-    tests/test_pipelined_quality.py): on the pendulum swing-up (0.05 s
-    ticks, 0.75 s horizon) depth 1-2 costs +3-7% episode cost with
-    compensation, while depth 4 (a 0.2 s actuation delay) is NOT benign —
-    ~3.4x episode cost and no stabilization.  Slower-timescale plants
-    (racing MPCC at 8 m/s, 0.1 s ticks) tolerate deeper pipelines; see
-    the per-env table before shipping a depth.
+    **Pick ``depth`` (and ``compensate``) against measured control-
+    quality cost, not just latency.**  Closed-loop measurements
+    (benchmarks/pipelined_quality.py via the bit-identical scan harness
+    :func:`make_pipelined_closed_loop`; 3-seed table in
+    docs/ARCHITECTURE.md, PIPELINE_QUALITY_r5.jsonl; regression-bounded
+    in tests/test_pipelined_quality.py): depth 1-2 costs single-digit
+    percent episode quality on the measured workloads (navigation +2-7%,
+    pendulum +3-5% compensated); depth 4 measurably degrades all of
+    them (racing mostly misses the goal budget, pendulum fails to
+    stabilize at ~3.4x cost).  Compensation is per-plant: it helps the
+    fast unstable pendulum but HURTS the high-speed racing
+    path-follower (later plan rows carry more sampling noise — depth-1
+    *uncompensated* is racing's mildest pipelined mode).  Measure your
+    own plant with ``make_pipelined_closed_loop`` before shipping a
+    depth.
 
     The loop semantics match ``bench.py``'s
     ``host_synced_pipelined_solves_per_s`` mode, which measures this
