@@ -32,4 +32,4 @@ __all__ = [
     "make_solver",
 ]
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"

@@ -551,12 +551,16 @@ def make_fused_solve(
 
                 @pl.when(il == num_tiles - 1)
                 def _lambda_epilogue():
-                    c = costs_ref[:, :]
+                    # the search bodies take the block REF: above their
+                    # 2 MiB whole-block limit they stream 512-row groups
+                    # from it so the epilogue's VMEM peak stays at the
+                    # resident costs block (K=1M whole-block variants
+                    # measured 17.6-17.8M > the 16M scope)
                     lam_min = jnp.float32(config.lambda_min)
                     lam_max = jnp.float32(config.lambda_max)
                     if lambda_mode == "essps":
                         lam_out_ref[0] = essps_bisect(
-                            c, lam_min, lam_max,
+                            costs_ref, lam_min, lam_max,
                             jnp.float32(config.target_ess),
                             config.essps_iters,
                         )
@@ -573,7 +577,7 @@ def make_fused_solve(
                             minmax_ref[1] - minmax_ref[0]
                         ) * sqrt_ratio
                         lam_out_ref[0] = lbps_golden(
-                            c, lam_min, lam_max, range_pen,
+                            costs_ref, lam_min, lam_max, range_pen,
                             config.lbps_iters,
                         )
             return

@@ -75,17 +75,53 @@ def _vreg_chunks(x):
     return x.reshape(rows // SUBLANES, SUBLANES, LANES)
 
 
+# Above this block size the per-iteration elementwise intermediates are
+# computed in fixed 64-chunk groups (256 KB each) instead of whole-block:
+# a whole-block LBPS objective at K=1M materializes ~4 x 4 MiB arrays and
+# blows the ~16 MiB/core VMEM scope (measured: 17.79M requested in the
+# lambda epilogue at K=1,048,576).  Grouping bounds the peak at the
+# resident costs block + one group regardless of K; flagship-scale
+# blocks (<= 2 MiB) keep the whole-block form (measured fastest).
+_WHOLE_BLOCK_BYTES = 2 * 1024 * 1024
+_GROUP_CHUNKS = 64
+
+
+def _is_grouped(rows: int) -> bool:
+    return rows * LANES * 4 > _WHOLE_BLOCK_BYTES
+
+
+def _group_rows():
+    return _GROUP_CHUNKS * SUBLANES
+
+
+def _grouped_min(c_ref, rows: int):
+    """min over the [rows, 128] block by serial group loads (exact in
+    any order)."""
+    gh = _group_rows()
+    n_full = rows // gh
+    tail = rows - n_full * gh
+
+    def body(g, m):
+        return jnp.minimum(m, jnp.min(c_ref[pl.ds(g * gh, gh), :]))
+
+    m = lax.fori_loop(0, n_full, body, jnp.float32(jnp.inf))
+    if tail:
+        m = jnp.minimum(m, jnp.min(c_ref[pl.ds(n_full * gh, tail), :]))
+    return m
+
+
 def _ess_terms_from_exp(e3):
     """(z, sum e^2) softmin partials from pre-shifted exponentials
     (``e3`` in [chunks, 8, 128] layout — see ``_vreg_chunks``)."""
     return jnp.sum(e3.sum(axis=0)), jnp.sum((e3 * e3).sum(axis=0))
 
 
-def essps_bisect(c, lam_min, lam_max, target, iters: int):
+def essps_bisect(c_ref, lam_min, lam_max, target, iters: int):
     """ESSPS bisection over a VMEM-resident padded [rows, 128] cost block.
 
-    Shared by the standalone kernel below and the fused solve's in-kernel
-    lambda epilogue (``ops/fused_solve.py``) so the two paths can never
+    ``c_ref`` is the block's Pallas REF (both callers — the standalone
+    kernel below and the fused solve's in-kernel lambda epilogue
+    (``ops/fused_solve.py``) — hold one), so the two paths can never
     diverge arithmetically.  All scalar operands must already be f32.
 
     The softmax shift is lambda-independent: max(-c/lam) = -min(c)/lam
@@ -98,12 +134,51 @@ def essps_bisect(c, lam_min, lam_max, target, iters: int):
     bisection root moves < f32 resolution (asserted vs scipy in
     tests/test_autolambda.py).
     """
-    d3 = _vreg_chunks(jnp.min(c) - c)
+    rows = c_ref.shape[0]
 
-    def ess(lam):
-        e3 = jnp.exp(d3 * (1.0 / lam))
-        z, sq = _ess_terms_from_exp(e3)
-        return z * z / sq
+    if _is_grouped(rows):
+        # Large-K strategy: a lax.fori_loop over 512-row groups loaded
+        # straight from the ref (pl.ds) — strictly serial, so the VMEM
+        # peak is the resident costs block + ONE group's intermediates.
+        # Whole-block intermediates at K=1M measured 17.6-17.8M against
+        # the 16M scope (the hoisted d3 plus scheduler-interleaved group
+        # blocks); per-group shift folding ((cmin - cg) * a) is
+        # elementwise-identical arithmetic to the hoisted d3 form.
+        cmin = _grouped_min(c_ref, rows)
+        gh = _group_rows()
+        n_full = rows // gh
+        tail = rows - n_full * gh
+
+        def ess(lam):
+            a = 1.0 / lam
+
+            def accum(cg_rows, zp, sqp):
+                cg = cg_rows.reshape(-1, SUBLANES, LANES)
+                e = jnp.exp((cmin - cg) * a)
+                return zp + e.sum(axis=0), sqp + (e * e).sum(axis=0)
+
+            def body(g, carry):
+                zp, sqp = carry
+                return accum(c_ref[pl.ds(g * gh, gh), :], zp, sqp)
+
+            zp = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            sqp = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            zp, sqp = lax.fori_loop(0, n_full, body, (zp, sqp))
+            if tail:
+                zp, sqp = accum(
+                    c_ref[pl.ds(n_full * gh, tail), :], zp, sqp
+                )
+            z = jnp.sum(zp)
+            sq = jnp.sum(sqp)
+            return z * z / sq
+    else:
+        c = c_ref[:, :]
+        d3 = _vreg_chunks(jnp.min(c) - c)
+
+        def ess(lam):
+            e3 = jnp.exp(d3 * (1.0 / lam))
+            z, sq = _ess_terms_from_exp(e3)
+            return z * z / sq
 
     ess_at_min = ess(lam_min)
     ess_at_max = ess(lam_max)
@@ -127,11 +202,11 @@ def essps_bisect(c, lam_min, lam_max, target, iters: int):
 def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     # params: [lam_min, lam_max, target]
     out_ref[0] = essps_bisect(
-        costs_ref[:, :], params_ref[0], params_ref[1], params_ref[2], iters
+        costs_ref, params_ref[0], params_ref[1], params_ref[2], iters
     )
 
 
-def lbps_golden(c, lam_min, lam_max, range_pen, iters: int):
+def lbps_golden(c_ref, lam_min, lam_max, range_pen, iters: int):
     """LBPS golden-section over a VMEM-resident padded [rows, 128] block.
 
     Shared by the standalone kernel below and the fused solve's in-kernel
@@ -150,25 +225,65 @@ def lbps_golden(c, lam_min, lam_max, range_pen, iters: int):
     point; measured 3.83 vs 3.33 on a uniform-cost vector.  Bisection on
     the monotone ESS is immune, hence the full hoist in essps_bisect.)
     """
-    cmin = jnp.min(c)
-    c3 = _vreg_chunks(c)
+    rows = c_ref.shape[0]
 
-    def objective(lam):
-        # negated LBPS lower bound (mppi.py:534-557), same math as
-        # core.autolambda.lbps_objective up to the softmax formulation.
-        # Algebraic form: -(E[-c] - pen/sqrt(ess)) with ess = z^2/sq and
-        # E[-c] = -sum(e*c)/z collapses to (sum(e*c) + pen*sqrt(sq)) / z
-        # — one scalar divide and no ess intermediate.  The search loop
-        # is serialized on these scalars (each golden iteration's
-        # vector pass waits on the previous comparison), so trimming the
-        # scalar tail cuts measured per-iteration cost; lambda* agrees
-        # with the expanded form to f32 rounding (tests pin vs scipy/XLA
-        # at the same tolerances as before).
-        s3 = c3 * (-1.0 / lam)
-        e3 = jnp.exp(s3 - cmin * (-1.0 / lam))
-        z, sq = _ess_terms_from_exp(e3)
-        wc = jnp.sum((e3 * c3).sum(axis=0))
-        return (wc + range_pen * jnp.sqrt(sq)) / z
+    # negated LBPS lower bound (mppi.py:534-557), same math as
+    # core.autolambda.lbps_objective up to the softmax formulation.
+    # Algebraic form: -(E[-c] - pen/sqrt(ess)) with ess = z^2/sq and
+    # E[-c] = -sum(e*c)/z collapses to (sum(e*c) + pen*sqrt(sq)) / z
+    # — one scalar divide and no ess intermediate.  The search loop
+    # is serialized on these scalars (each golden iteration's
+    # vector pass waits on the previous comparison), so trimming the
+    # scalar tail cuts measured per-iteration cost; lambda* agrees
+    # with the expanded form to f32 rounding (tests pin vs scipy/XLA
+    # at the same tolerances as before).
+    if _is_grouped(rows):
+        # serial fori_loop over 512-row ref-loaded groups — see
+        # essps_bisect's grouped branch for the VMEM-peak rationale
+        cmin = _grouped_min(c_ref, rows)
+        gh = _group_rows()
+        n_full = rows // gh
+        tail = rows - n_full * gh
+
+        def objective(lam):
+            a = -1.0 / lam
+            shift = cmin * a
+
+            def accum(cg_rows, zp, sqp, wcp):
+                cg = cg_rows.reshape(-1, SUBLANES, LANES)
+                e = jnp.exp(cg * a - shift)
+                return (
+                    zp + e.sum(axis=0),
+                    sqp + (e * e).sum(axis=0),
+                    wcp + (e * cg).sum(axis=0),
+                )
+
+            def body(g, carry):
+                return accum(c_ref[pl.ds(g * gh, gh), :], *carry)
+
+            zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            zp, sqp, wcp = lax.fori_loop(
+                0, n_full, body, (zero, zero, zero)
+            )
+            if tail:
+                zp, sqp, wcp = accum(
+                    c_ref[pl.ds(n_full * gh, tail), :], zp, sqp, wcp
+                )
+            z = jnp.sum(zp)
+            sq = jnp.sum(sqp)
+            wc = jnp.sum(wcp)
+            return (wc + range_pen * jnp.sqrt(sq)) / z
+    else:
+        c = c_ref[:, :]
+        cmin = jnp.min(c)
+        c3 = _vreg_chunks(c)
+
+        def objective(lam):
+            s3 = c3 * (-1.0 / lam)
+            e3 = jnp.exp(s3 - cmin * (-1.0 / lam))
+            z, sq = _ess_terms_from_exp(e3)
+            wc = jnp.sum((e3 * c3).sum(axis=0))
+            return (wc + range_pen * jnp.sqrt(sq)) / z
 
     invphi = jnp.float32((5.0**0.5 - 1.0) / 2.0)
     a = lam_min
@@ -206,7 +321,7 @@ def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
     # pollute an in-kernel max, and masking it needed two [K]-shaped
     # int32 iotas of pure VMEM overhead
     out_ref[0] = lbps_golden(
-        costs_ref[:, :], params_ref[0], params_ref[1], params_ref[3], iters
+        costs_ref, params_ref[0], params_ref[1], params_ref[3], iters
     )
 
 

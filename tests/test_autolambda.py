@@ -281,3 +281,38 @@ def test_lambda_search_support_gate():
     # the kernel on a v5e; 2M would exceed VMEM with the in-kernel temps)
     assert lambda_search_supported(1024 * 1024)
     assert not lambda_search_supported(1024 * 1024 + 1)
+
+
+def test_grouped_strategy_matches_xla_at_large_k():
+    """Above the 2 MiB whole-block limit the VMEM search kernels switch
+    to 64-chunk group accumulation (ops/lambda_search.py _grouped) so the
+    per-iteration intermediates cannot blow the VMEM scope at K=1M
+    (measured OOM with the whole-block form).  Pin that the grouped
+    strategy still agrees with the XLA loops.
+    """
+    import numpy as np
+
+    from mppi_playground_tpu.core import autolambda
+    from mppi_playground_tpu.ops.lambda_search import (
+        _GROUP_CHUNKS,
+        _WHOLE_BLOCK_BYTES,
+        _vreg_chunks,
+        essps_lambda_fused,
+        lbps_lambda_fused,
+    )
+
+    k = 600 * 1024  # 2.4 MiB block: above the whole-block limit
+    costs = jnp.asarray(
+        np.random.default_rng(11).uniform(0.0, 30.0, (k,)), jnp.float32
+    )
+    assert _vreg_chunks(
+        jnp.zeros((-(-k // 1024) * 1024 // 128, 128), jnp.float32)
+    ).shape[0] * 8 * 128 * 4 > _WHOLE_BLOCK_BYTES
+
+    lam_k = float(essps_lambda_fused(costs, 5000.0, 0.01, 100.0, iters=40))
+    lam_x = float(autolambda.essps_lambda(costs, 5000.0, 0.01, 100.0, iters=40))
+    np.testing.assert_allclose(lam_k, lam_x, rtol=1e-3)
+
+    lam_k = float(lbps_lambda_fused(costs, 0.01, 0.01, 100.0, iters=32))
+    lam_x = float(autolambda.lbps_lambda(costs, 0.01, 0.01, 100.0, iters=32))
+    np.testing.assert_allclose(lam_k, lam_x, rtol=1e-3)
