@@ -164,6 +164,56 @@ def _draw_normals(d_flat: int, sublanes: int):
     return zs
 
 
+def _block_min_max_valid(costs_ref, k_pad: int, num_valid: int):
+    """(min, max) over the first ``num_valid`` entries of the padded
+    [k_pad/128, 128] costs block, read from its Pallas ref.
+
+    Exact in any evaluation order (min/max are associative-commutative
+    and f32-exact), so the result is bitwise-equal to an XLA reduce over
+    ``costs[:num_valid]``.  The +1e30 padding sentinel never lowers the
+    min, so only the max needs the valid mask; blocks above 2 MiB are
+    folded in serial 512-row ref loads so the VMEM peak stays at the
+    resident block (same strategy as ``ops/lambda_search.py``).
+    """
+    rows = k_pad // LANES
+    full_rows = num_valid // LANES
+    rem = num_valid % LANES
+    neg_inf = jnp.float32(-jnp.inf)
+    if rows * LANES * 4 <= 2 * 1024 * 1024:
+        c = costs_ref[:, :]
+        cmin = jnp.min(c)
+        cmax = jnp.max(c[:full_rows, :]) if full_rows else neg_inf
+    else:
+        gh = 512
+        n_full = full_rows // gh
+
+        def body(g, m):
+            blk = costs_ref[pl.ds(g * gh, gh), :]
+            return (
+                jnp.minimum(m[0], jnp.min(blk)),
+                jnp.maximum(m[1], jnp.max(blk)),
+            )
+
+        cmin, cmax = lax.fori_loop(
+            0, n_full, body, (jnp.float32(jnp.inf), neg_inf)
+        )
+        tail_rows = full_rows - n_full * gh
+        if tail_rows:
+            blk = costs_ref[pl.ds(n_full * gh, tail_rows), :]
+            cmin = jnp.minimum(cmin, jnp.min(blk))
+            cmax = jnp.maximum(cmax, jnp.max(blk))
+    if rem:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        rrow = costs_ref[pl.ds(full_rows, 1), :]
+        cmax = jnp.maximum(
+            cmax, jnp.max(jnp.where(lane < rem, rrow, neg_inf))
+        )
+        # the rem row's padding is +1e30: plain min is safe (and for the
+        # small path the whole-block min above already covered this row)
+        cmin = jnp.minimum(cmin, jnp.min(rrow))
+    return cmin, cmax
+
+
 def fused_envelope(config) -> bool:
     """Whether a config fits the fused kernel (single source of truth).
 
@@ -400,8 +450,6 @@ def make_fused_solve(
             if lambda_mode is not None:
                 lam_out_ref = refs[nxt]
                 nxt += 1
-                if lambda_mode == "lbps":
-                    minmax_ref = refs[nxt]
         else:
             # dump_pert implies costs_only (asserted in run_kernel): the
             # only dump consumer is auto-lambda phase 1, which discards
@@ -426,7 +474,18 @@ def make_fused_solve(
             pltpu.prng_seed(_mix_seed(seed_ref[0], i))
         use_prev = sidx < threshold
         if not noise_mode:
-            zs = _draw_normals(d_flat, S)
+            # per-pair draws (sequential PRNG state advance).  A single
+            # wide prng_random_bits block was measured perf-neutral on
+            # the fixed-lambda kernel but cost ~0.013 ms on the
+            # two-phase LBPS path (ABLATE_r5 runs c/d vs b), so the
+            # original form stays; _draw_normals remains for reference.
+            zs = []
+            for _ in range((d_flat + 1) // 2):
+                b1 = pltpu.prng_random_bits((S, LANES))
+                b2 = pltpu.prng_random_bits((S, LANES))
+                z1, z2 = _normal_pair_from_bits(b1, b2)
+                zs.append(z1)
+                zs.append(z2)
         pert = []  # [T][m] arrays of [S,128]
         for t in range(horizon):
             row = []
@@ -503,19 +562,6 @@ def make_fused_solve(
             # padding samples never win the softmin — locally padded last
             # tile (unsharded) or globally padded trailing tiles (sharded
             # with K not a multiple of tile * n_shards); sidx is global
-            if lambda_mode == "lbps":
-                # LBPS's cost-range term must see only the real K samples
-                # (the padded tail's rollouts are genuine but excluded by
-                # the facade's unpad slice); min/max are exact in f32, so
-                # the SMEM-accumulated scalars match the XLA reduce over
-                # costs[:K] bitwise regardless of reduction order.
-                if k_pad > num_local or global_padded:
-                    valid = sidx < num_samples
-                    tile_min = jnp.min(jnp.where(valid, acc, jnp.inf))
-                    tile_max = jnp.max(jnp.where(valid, acc, -jnp.inf))
-                else:
-                    tile_min = jnp.min(acc)
-                    tile_max = jnp.max(acc)
             if k_pad > num_local or global_padded:
                 acc = jnp.where(sidx < num_samples, acc, 1e30)
             if lambda_mode is None:
@@ -527,16 +573,6 @@ def make_fused_solve(
                 # epilogue — no HBM round trip, no second kernel launch
                 il = pl.program_id(0)
                 costs_ref[pl.ds(il * S, S), :] = acc
-                if lambda_mode == "lbps":
-                    @pl.when(il == 0)
-                    def _init_minmax():
-                        minmax_ref[0] = tile_min
-                        minmax_ref[1] = tile_max
-
-                    @pl.when(il > 0)
-                    def _fold_minmax():
-                        minmax_ref[0] = jnp.minimum(minmax_ref[0], tile_min)
-                        minmax_ref[1] = jnp.maximum(minmax_ref[1], tile_max)
 
         if costs_only:
             if lambda_mode is not None:
@@ -567,15 +603,24 @@ def make_fused_solve(
                     else:
                         # range_pen matches lbps_lambda_fused's caller-side
                         # computation: ratio rounded to f32 first, then an
-                        # f32 sqrt and one f32 mul — bitwise identical
+                        # f32 sqrt and one f32 mul — bitwise identical.
+                        # min/max come straight off the resident costs
+                        # block (min/max are order-independent, so this
+                        # equals the XLA reduce over costs[:K] bitwise):
+                        # the padding sentinel +1e30 never lowers the min,
+                        # and the max masks the padded tail of the last
+                        # valid row.  Replaces the per-tile SMEM min/max
+                        # folds phase 1 used to carry (a serialization
+                        # point per grid step).
+                        cmin, cmax = _block_min_max_valid(
+                            costs_ref, k_pad, num_samples
+                        )
                         sqrt_ratio = jnp.sqrt(
                             jnp.float32(
                                 (1.0 - config.lbps_delta) / config.lbps_delta
                             )
                         )
-                        range_pen = (
-                            minmax_ref[1] - minmax_ref[0]
-                        ) * sqrt_ratio
+                        range_pen = (cmax - cmin) * sqrt_ratio
                         lam_out_ref[0] = lbps_golden(
                             costs_ref, lam_min, lam_max, range_pen,
                             config.lbps_iters,
@@ -758,9 +803,7 @@ def make_fused_solve(
             out_specs.append(
                 pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
             )
-            if lambda_mode == "lbps":
-                # [min, max] of the unpadded costs, folded across tiles
-                scratch_shapes.append(pltpu.SMEM((2,), jnp.float32))
+
 
         outs = pl.pallas_call(
             functools.partial(
