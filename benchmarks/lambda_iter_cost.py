@@ -1,18 +1,19 @@
 """Per-iteration cost of the VMEM-resident lambda-search kernels.
 
-Differencing harness for round-5 verdict item 4 (LBPS costs 7.8% of the
-flagship tick vs ESSPS 5.1%): times ``essps_lambda_fused`` /
-``lbps_lambda_fused`` at K=100k with N and 2N iterations inside a
-serialized scan (one dispatch), so
+Differencing harness for the auto-lambda floor accounting
+(docs/ARCHITECTURE.md): times ``essps_lambda_fused`` /
+``lbps_lambda_fused`` at K=100k with N and 2N iterations as chained
+dispatches (each search's input is perturbed by the previous lambda so
+XLA cannot hoist or CSE the calls), so
 
-    per_iteration_ms = (t_2N - t_N) / N
+    per_iteration_us = (t_2N - t_N) / N
 
 isolates the search loop body from launch/pad/readback overhead.  The
-audit's issue-count model (benchmarks/cycle_audit.py, ~600-800 vreg-ops
-per iteration) prices an iteration at ~0.2 us if issue-bound; a measured
-per-iteration cost several times that means the loop is bound by block
-streaming / reduction latency instead, which is what a body restructure
-can attack.
+round-5 measurement: after the chunked-reduction + simplified-objective
+work the per-iteration cost is below the per-dispatch noise floor
+(<~0.1 us/iter — the 32-iteration LBPS search is <1% of the flagship
+tick); before it, the whole-block bodies measured ~1.2 us/iter through
+the flagship epilogue (32-vs-64-iteration tick differencing).
 
 Run:  python benchmarks/lambda_iter_cost.py
 """
@@ -21,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -30,44 +30,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from mppi_playground_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
 K = 100_000
-SCAN_N = 50
+N_DISPATCH = 100
 
 
-def _time(fn, *args) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / (3 * SCAN_N))
-    return statistics.median(ts) * 1e3
-
-
-def _scanned(search_fn):
-    # serialize: each iteration's costs are perturbed by the previous
-    # lambda so the search cannot be hoisted out of the scan
-    def run(costs):
-        def body(carry, _):
-            lam_prev, acc = carry
-            lam = search_fn(costs + lam_prev * 1e-12)
-            return (lam, acc + lam), None
-
-        (lam, acc), _ = lax.scan(
-            body, (jnp.float32(1.0), jnp.float32(0.0)), None, length=SCAN_N
-        )
-        return acc
-
-    return jax.jit(run)
+def _time_chained(fn) -> float:
+    """ms per dispatch over N_DISPATCH serially-dependent dispatches."""
+    lam = jnp.float32(1.0)
+    lam = fn(lam)
+    lam.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(N_DISPATCH):
+        lam = fn(lam)
+    lam.block_until_ready()
+    return (time.perf_counter() - t0) / N_DISPATCH * 1e3
 
 
 def main() -> None:
@@ -79,30 +60,31 @@ def main() -> None:
     rng = np.random.default_rng(7)
     costs = jnp.asarray(rng.uniform(0.0, 50.0, (K,)), jnp.float32)
 
-    rows = {}
-    for name, fn, iters in (
-        ("essps", lambda c, it: essps_lambda_fused(
-            c, 5000.0, 0.01, 100.0, iters=it), 40),
-        ("lbps", lambda c, it: lbps_lambda_fused(
-            c, 0.01, 0.01, 100.0, iters=it), 32),
+    for name, make, iters in (
+        ("essps",
+         lambda it: jax.jit(lambda lam: essps_lambda_fused(
+             costs + lam * 1e-12, 5000.0, 0.01, 100.0, iters=it)), 40),
+        ("lbps",
+         lambda it: jax.jit(lambda lam: lbps_lambda_fused(
+             costs + lam * 1e-12, 0.01, 0.01, 100.0, iters=it)), 32),
     ):
-        t1 = _time(_scanned(lambda c, f=fn, it=iters: f(c, it)), costs)
-        t2 = _time(_scanned(lambda c, f=fn, it=iters: f(c, 2 * it)), costs)
-        per_iter = (t2 - t1) / iters
-        rows[name] = {
-            "kernel_ms_at_iters": round(t1, 4),
-            "kernel_ms_at_2x_iters": round(t2, 4),
-            "iters": iters,
-            "per_iteration_us": round(per_iter * 1e3, 3),
-            "launch_overhead_ms": round(t1 - per_iter * iters, 4),
-        }
+        t1 = _time_chained(make(iters))
+        t2 = _time_chained(make(2 * iters))
+        per_iter_us = (t2 - t1) / iters * 1e3
         print(json.dumps({
             "metric": f"lambda_iter_cost_{name}",
-            "value": rows[name]["per_iteration_us"],
+            "value": round(per_iter_us, 4),
             "unit": "us/iteration",
             "vs_baseline": None,
-            "extra": {**rows[name], "K": K,
-                      "device": str(jax.devices()[0])},
+            "extra": {
+                "ms_per_dispatch_at_iters": round(t1, 4),
+                "ms_per_dispatch_at_2x_iters": round(t2, 4),
+                "iters": iters, "K": K,
+                "note": "dispatch-pipelined chained calls; differencing "
+                "isolates the loop body, but values below ~0.1 us/iter "
+                "are within the per-dispatch noise floor",
+                "device": str(jax.devices()[0]),
+            },
         }), flush=True)
 
 

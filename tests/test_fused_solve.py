@@ -888,3 +888,40 @@ def test_lambda_epilogue_vmem_gate_at_4mb_boundary():
         local_num_samples=2 * TILE, global_padded=True,
     )
     assert not padded.supports_lambda_epilogue
+
+
+def test_block_min_max_valid_masks_padding():
+    """_block_min_max_valid == (min, max) over the UNPADDED costs for
+    both block strategies (whole-block and >2 MiB grouped ref loads),
+    including a partially-valid last row."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mppi_playground_tpu.ops.fused_solve import (
+        LANES,
+        TILE,
+        _block_min_max_valid,
+    )
+
+    rng = np.random.default_rng(5)
+    for k in (3 * TILE - 100, 600 * 1024 + 37):  # whole-block; grouped
+        k_pad = -(-k // TILE) * TILE
+        costs = rng.uniform(-7.0, 90.0, (k,)).astype(np.float32)
+        block = np.full((k_pad,), 1e30, np.float32)
+        block[:k] = costs
+        block = jnp.asarray(block.reshape(k_pad // LANES, LANES))
+
+        def kernel(costs_ref, out_ref, k_pad=k_pad, k=k):
+            cmin, cmax = _block_min_max_valid(costs_ref, k_pad, k)
+            out_ref[0] = cmin
+            out_ref[1] = cmax
+
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((2,), jnp.float32),
+            interpret=True,
+        )(block)
+        assert float(out[0]) == float(costs.min()), k
+        assert float(out[1]) == float(costs.max()), k
