@@ -134,36 +134,6 @@ def _normal_pair_from_bits(b1, b2):
     return r * cos_t, r * sin_t
 
 
-def _draw_normals(d_flat: int, sublanes: int):
-    """All ``d_flat`` per-slot normal vregs from ONE wide PRNG draw.
-
-    One ``prng_random_bits`` call per kernel instance instead of
-    ``d_flat`` sequential (S, 128) draws.  The hardware PRNG advances
-    its state per draw call, so per-pair draws would form a
-    d_flat-deep serial dependency chain; with the bits materialized up
-    front the Box-Muller pairs are independent chains the scheduler can
-    pipeline.  Measured effect on the flagship kernel: neutral (0.724
-    vs 0.725-0.76 ms across sessions — the old chain was already hidden;
-    ROOFLINE_r5.json "attacks" table), kept because it removes the
-    serialization hazard at zero cost.  The raw bit STREAM is unchanged
-    (same generator state advance); only its reshaping into slots
-    differs from the old per-pair draws — phase-2 regeneration, the
-    pert dump, and diagnostics replay all share this function, so
-    cross-phase bit-exactness is preserved (asserted on hardware by
-    benchmarks/tpu_native_checks.py).
-    """
-    pairs = (d_flat + 1) // 2
-    raw = pltpu.prng_random_bits((2 * pairs * sublanes, LANES))
-    zs = []
-    for i in range(pairs):
-        b1 = raw[(2 * i) * sublanes:(2 * i + 1) * sublanes, :]
-        b2 = raw[(2 * i + 1) * sublanes:(2 * i + 2) * sublanes, :]
-        z1, z2 = _normal_pair_from_bits(b1, b2)
-        zs.append(z1)
-        zs.append(z2)
-    return zs
-
-
 def _block_min_max_valid(costs_ref, k_pad: int, num_valid: int):
     """(min, max) over the first ``num_valid`` entries of the padded
     [k_pad/128, 128] costs block, read from its Pallas ref.
