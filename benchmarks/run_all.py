@@ -198,10 +198,11 @@ def main():
         # (the fused path's HBM footprint is K-linear only in [K] costs
         # + the auto-lambda pert dump)
         racing_rows.append((FLAGSHIP_HORIZON, 1_048_576, "racing_1m", 1.0))
-        # K = 1,048,576 is exactly the lambda-epilogue VMEM gate's 4 MiB
-        # edge (ops/fused_solve.py supports_lambda_epilogue; boundary
-        # pinned in tests/test_fused_solve.py): on single-core chips both
-        # auto-lambda modes exercise the in-kernel epilogue at the bound
+        # K = 1,048,576 sits past the lambda epilogue's 2 MiB default
+        # gate (ops/fused_solve.py supports_lambda_epilogue; boundary
+        # pinned in tests/test_fused_solve.py), so both auto-lambda modes
+        # exercise the standalone two-phase path with the whole-block
+        # VMEM search kernel at its 4 MiB block edge
         racing_rows.append(
             (FLAGSHIP_HORIZON, 1_048_576, "racing_1m_essps", "ESSPS")
         )

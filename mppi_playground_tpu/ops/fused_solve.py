@@ -564,11 +564,15 @@ def make_fused_solve(
                     # measured 17.6-17.8M > the 16M scope)
                     lam_min = jnp.float32(config.lambda_min)
                     lam_max = jnp.float32(config.lambda_max)
+                    from mppi_playground_tpu.ops.lambda_search import (
+                        _WHOLE_BLOCK_EPILOGUE,
+                    )
                     if lambda_mode == "essps":
                         lam_out_ref[0] = essps_bisect(
                             costs_ref, lam_min, lam_max,
                             jnp.float32(config.target_ess),
                             config.essps_iters,
+                            whole_block_limit=_WHOLE_BLOCK_EPILOGUE,
                         )
                     else:
                         # range_pen matches lbps_lambda_fused's caller-side
@@ -594,6 +598,7 @@ def make_fused_solve(
                         lam_out_ref[0] = lbps_golden(
                             costs_ref, lam_min, lam_max, range_pen,
                             config.lbps_iters,
+                            whole_block_limit=_WHOLE_BLOCK_EPILOGUE,
                         )
             return
 
@@ -1001,12 +1006,18 @@ def make_fused_solve(
     # phase-1 pert dump + phase-2 read-back (auto-lambda fast path)
     solve_core.supports_pert_dump = True
     # In-kernel LBPS/ESSPS lambda epilogue: needs the global cost vector
-    # (unsharded core) and the full padded block VMEM-resident (k_pad * 4
-    # bytes on top of the kernel's working set; 4 MB covers K = 1M, the
-    # same bound as ops/lambda_search.py's standalone kernels).
+    # (unsharded core) and the full padded block VMEM-resident on top of
+    # the kernel's working set.  The 2 MiB bound (K <= 524,288) is where
+    # the epilogue's whole-block search still fits next to the phase-1
+    # state; beyond it the facade's standalone two-phase path wins anyway
+    # (measured at K=1M: standalone 7.60-7.63 ms/solve vs epilogue
+    # 7.66-7.79 — the epilogue there must group its search while the
+    # standalone kernel, whose only VMEM tenant is the costs block, keeps
+    # the faster whole-block form).  Forcing lambda_epilogue=True beyond
+    # the bound still works: the epilogue bodies group above 2 MiB.
     solve_core.supports_lambda_epilogue = (
         local_num_samples is None
         and not global_padded
-        and k_pad * 4 <= 4 * 1024 * 1024
+        and k_pad * 4 <= 2 * 1024 * 1024
     )
     return solve_core

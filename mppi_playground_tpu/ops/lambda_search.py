@@ -75,19 +75,24 @@ def _vreg_chunks(x):
     return x.reshape(rows // SUBLANES, SUBLANES, LANES)
 
 
-# Above this block size the per-iteration elementwise intermediates are
-# computed in fixed 64-chunk groups (256 KB each) instead of whole-block:
-# a whole-block LBPS objective at K=1M materializes ~4 x 4 MiB arrays and
-# blows the ~16 MiB/core VMEM scope (measured: 17.79M requested in the
-# lambda epilogue at K=1,048,576).  Grouping bounds the peak at the
-# resident costs block + one group regardless of K; flagship-scale
-# blocks (<= 2 MiB) keep the whole-block form (measured fastest).
-_WHOLE_BLOCK_BYTES = 2 * 1024 * 1024
+# Above these block sizes the per-iteration elementwise intermediates are
+# computed by a serial fori_loop over 512-row ref loads instead of
+# whole-block: a whole-block LBPS objective materializes ~3-4 block-sized
+# arrays, so the limit depends on who is calling —
+# * the STANDALONE kernels' only VMEM tenant is the costs block: 3-4
+#   blocks fit up to the 4 MiB block of K=1M (12 MB peak,
+#   hardware-verified since r3), and whole-block is markedly faster
+#   (grouped ESSPS at 1M measured ~3x slower per search);
+# * the fused solve's LAMBDA EPILOGUE shares VMEM with the phase-1
+#   kernel's working set: whole-block intermediates at K=1M measured
+#   17.6-17.8M against the 16M scope, so it groups beyond 2 MiB.
+_WHOLE_BLOCK_STANDALONE = 4 * 1024 * 1024
+_WHOLE_BLOCK_EPILOGUE = 2 * 1024 * 1024
 _GROUP_CHUNKS = 64
 
 
-def _is_grouped(rows: int) -> bool:
-    return rows * LANES * 4 > _WHOLE_BLOCK_BYTES
+def _is_grouped(rows: int, whole_block_limit: int) -> bool:
+    return rows * LANES * 4 > whole_block_limit
 
 
 def _group_rows():
@@ -116,7 +121,8 @@ def _ess_terms_from_exp(e3):
     return jnp.sum(e3.sum(axis=0)), jnp.sum((e3 * e3).sum(axis=0))
 
 
-def essps_bisect(c_ref, lam_min, lam_max, target, iters: int):
+def essps_bisect(c_ref, lam_min, lam_max, target, iters: int,
+                 whole_block_limit: int = _WHOLE_BLOCK_STANDALONE):
     """ESSPS bisection over a VMEM-resident padded [rows, 128] cost block.
 
     ``c_ref`` is the block's Pallas REF (both callers — the standalone
@@ -136,7 +142,7 @@ def essps_bisect(c_ref, lam_min, lam_max, target, iters: int):
     """
     rows = c_ref.shape[0]
 
-    if _is_grouped(rows):
+    if _is_grouped(rows, whole_block_limit):
         # Large-K strategy: a lax.fori_loop over 512-row groups loaded
         # straight from the ref (pl.ds) — strictly serial, so the VMEM
         # peak is the resident costs block + ONE group's intermediates.
@@ -199,14 +205,17 @@ def essps_bisect(c_ref, lam_min, lam_max, target, iters: int):
     )
 
 
-def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
+def _essps_kernel(params_ref, costs_ref, out_ref, *, iters: int,
+                  whole_block_limit: int):
     # params: [lam_min, lam_max, target]
     out_ref[0] = essps_bisect(
-        costs_ref, params_ref[0], params_ref[1], params_ref[2], iters
+        costs_ref, params_ref[0], params_ref[1], params_ref[2], iters,
+        whole_block_limit=whole_block_limit,
     )
 
 
-def lbps_golden(c_ref, lam_min, lam_max, range_pen, iters: int):
+def lbps_golden(c_ref, lam_min, lam_max, range_pen, iters: int,
+                whole_block_limit: int = _WHOLE_BLOCK_STANDALONE):
     """LBPS golden-section over a VMEM-resident padded [rows, 128] block.
 
     Shared by the standalone kernel below and the fused solve's in-kernel
@@ -237,7 +246,7 @@ def lbps_golden(c_ref, lam_min, lam_max, range_pen, iters: int):
     # scalar tail cuts measured per-iteration cost; lambda* agrees
     # with the expanded form to f32 rounding (tests pin vs scipy/XLA
     # at the same tolerances as before).
-    if _is_grouped(rows):
+    if _is_grouped(rows, whole_block_limit):
         # serial fori_loop over 512-row ref-loaded groups — see
         # essps_bisect's grouped branch for the VMEM-peak rationale
         cmin = _grouped_min(c_ref, rows)
@@ -314,14 +323,16 @@ def lbps_golden(c_ref, lam_min, lam_max, range_pen, iters: int):
     return 0.5 * (a + b)
 
 
-def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int):
+def _lbps_kernel(params_ref, costs_ref, out_ref, *, iters: int,
+                 whole_block_limit: int):
     # params: [lam_min, lam_max, delta, range_pen] — the cost-range
     # penalty term is computed OUTSIDE the kernel (a single XLA max/min
     # over the unpadded [K] costs): the padding sentinel (+1e30) would
     # pollute an in-kernel max, and masking it needed two [K]-shaped
     # int32 iotas of pure VMEM overhead
     out_ref[0] = lbps_golden(
-        costs_ref, params_ref[0], params_ref[1], params_ref[3], iters
+        costs_ref, params_ref[0], params_ref[1], params_ref[3], iters,
+        whole_block_limit=whole_block_limit,
     )
 
 
@@ -332,6 +343,7 @@ def essps_lambda_fused(
     lambda_max: float,
     iters: int = 40,
     interpret: Optional[bool] = None,
+    whole_block_limit: int = _WHOLE_BLOCK_STANDALONE,
 ) -> jnp.ndarray:
     """VMEM-resident ESSPS bisection; same result as ``essps_lambda``."""
     if interpret is None:
@@ -340,7 +352,8 @@ def essps_lambda_fused(
         [lambda_min, lambda_max, target_ess], jnp.float32
     )
     out = pl.pallas_call(
-        functools.partial(_essps_kernel, iters=iters),
+        functools.partial(_essps_kernel, iters=iters,
+                          whole_block_limit=whole_block_limit),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -359,6 +372,7 @@ def lbps_lambda_fused(
     lambda_max: float,
     iters: int = 32,
     interpret: Optional[bool] = None,
+    whole_block_limit: int = _WHOLE_BLOCK_STANDALONE,
 ) -> jnp.ndarray:
     """VMEM-resident LBPS golden-section; same result as ``lbps_lambda``."""
     if interpret is None:
@@ -378,7 +392,8 @@ def lbps_lambda_fused(
         ]
     )
     out = pl.pallas_call(
-        functools.partial(_lbps_kernel, iters=iters),
+        functools.partial(_lbps_kernel, iters=iters,
+                          whole_block_limit=whole_block_limit),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -294,25 +294,35 @@ def test_grouped_strategy_matches_xla_at_large_k():
 
     from mppi_playground_tpu.core import autolambda
     from mppi_playground_tpu.ops.lambda_search import (
-        _GROUP_CHUNKS,
-        _WHOLE_BLOCK_BYTES,
-        _vreg_chunks,
+        _WHOLE_BLOCK_EPILOGUE,
+        _is_grouped,
         essps_lambda_fused,
         lbps_lambda_fused,
     )
 
-    k = 600 * 1024  # 2.4 MiB block: above the whole-block limit
+    k = 600 * 1024  # 2.4 MiB block: above the epilogue's whole-block limit
     costs = jnp.asarray(
         np.random.default_rng(11).uniform(0.0, 30.0, (k,)), jnp.float32
     )
-    assert _vreg_chunks(
-        jnp.zeros((-(-k // 1024) * 1024 // 128, 128), jnp.float32)
-    ).shape[0] * 8 * 128 * 4 > _WHOLE_BLOCK_BYTES
+    rows = -(-k // 1024) * 1024 // 128
+    assert _is_grouped(rows, _WHOLE_BLOCK_EPILOGUE)
 
-    lam_k = float(essps_lambda_fused(costs, 5000.0, 0.01, 100.0, iters=40))
+    # force the grouped strategy (the epilogue's limit) through the
+    # public wrappers and pin it against the XLA loops
+    lam_k = float(essps_lambda_fused(
+        costs, 5000.0, 0.01, 100.0, iters=40,
+        whole_block_limit=_WHOLE_BLOCK_EPILOGUE))
     lam_x = float(autolambda.essps_lambda(costs, 5000.0, 0.01, 100.0, iters=40))
     np.testing.assert_allclose(lam_k, lam_x, rtol=1e-3)
 
-    lam_k = float(lbps_lambda_fused(costs, 0.01, 0.01, 100.0, iters=32))
+    lam_k = float(lbps_lambda_fused(
+        costs, 0.01, 0.01, 100.0, iters=32,
+        whole_block_limit=_WHOLE_BLOCK_EPILOGUE))
     lam_x = float(autolambda.lbps_lambda(costs, 0.01, 0.01, 100.0, iters=32))
+    np.testing.assert_allclose(lam_k, lam_x, rtol=1e-3)
+
+    # the standalone default at this size stays whole-block (its only
+    # VMEM tenant is the costs block) and must agree too
+    lam_k = float(essps_lambda_fused(costs, 5000.0, 0.01, 100.0, iters=40))
+    lam_x = float(autolambda.essps_lambda(costs, 5000.0, 0.01, 100.0, iters=40))
     np.testing.assert_allclose(lam_k, lam_x, rtol=1e-3)

@@ -856,23 +856,26 @@ def test_lambda_epilogue_device_gate_policy():
         assert not default_lambda_epilogue(kind), kind
 
 
-def test_lambda_epilogue_vmem_gate_at_4mb_boundary():
-    """The in-kernel epilogue's VMEM gate flips exactly at the 4 MB cost
-    block (k_pad * 4 bytes): K = 1,048,576 (= 4 MiB, the K=1M flagship
-    edge benched in RUNALL_r5.jsonl) is the last supported size; one more
-    sample pads to the next tile and must fall back to the standalone
-    search kernel.  Also pins the sharded/padded exclusions.
+def test_lambda_epilogue_vmem_gate_at_2mb_boundary():
+    """The in-kernel epilogue's DEFAULT gate flips exactly at the 2 MiB
+    cost block (k_pad * 4 bytes, K = 524,288): beyond it the standalone
+    two-phase path is measured faster (its whole-block search's only
+    VMEM tenant is the costs block — at K=1M standalone 7.60-7.63
+    ms/solve vs epilogue 7.66-7.79 on the v5e), so the facade falls back
+    there; forcing lambda_epilogue=True past the bound remains valid
+    (the shared search bodies group above 2 MiB).  Also pins the
+    sharded/padded exclusions.
     """
     from mppi_playground_tpu.ops.fused_solve import TILE, make_fused_solve
 
     task = _toy_task()
     at_edge = make_fused_solve(
-        _config(num_samples=1024 * 1024), task, interpret=True
+        _config(num_samples=512 * 1024), task, interpret=True
     )
     assert at_edge.supports_lambda_epilogue
 
     over = make_fused_solve(
-        _config(num_samples=1024 * 1024 + 1), task, interpret=True
+        _config(num_samples=512 * 1024 + 1), task, interpret=True
     )
     assert not over.supports_lambda_epilogue
 
