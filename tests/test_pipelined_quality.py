@@ -146,3 +146,39 @@ def test_depth4_degradation_bounded():
     )
     # the plant must remain bounded (no velocity-clamp-pinned spinning)
     assert float(np.max(np.abs(np.asarray(xs)[:, 1]))) <= 8.0
+
+
+def test_pipelined_loop_threads_info_carry():
+    """The pipelined scan threads the info_fn carry exactly like the
+    strict loop (the racing pattern: a monotone index rides the carry
+    while stale actions apply)."""
+    solver = make_solver(
+        _config(), pendulum.dynamics, pendulum.cost, jit=False
+    )
+
+    def info_fn(carry, x):
+        # a monotone tick counter delivered to the cost through info
+        # (ignored by the pendulum cost, but it must thread unharmed)
+        return {"tick_index": carry}, carry + 1
+
+    run = make_pipelined_closed_loop(
+        solver, _plant, 12, depth=2, compensate=True, info_fn=info_fn
+    )
+    st = solver.init(seed=3)
+    _, xf, xs, us, carry = run(
+        st, jnp.asarray([np.pi, 0.0]), jnp.asarray(0, jnp.int32)
+    )
+    assert int(carry) == 12
+    assert np.isfinite(np.asarray(xs)).all()
+
+    # with the same seed, the no-info run matches up to XLA fusion
+    # rounding (the traced tick_index perturbs fusion by ~1 ulp, which
+    # the chaotic pendulum amplifies over the episode — compare only the
+    # first few actions, before amplification)
+    run0 = make_pipelined_closed_loop(
+        solver, _plant, 12, depth=2, compensate=True
+    )
+    _, _, xs0, us0, _ = run0(solver.init(seed=3), jnp.asarray([np.pi, 0.0]))
+    np.testing.assert_allclose(
+        np.asarray(us)[:4], np.asarray(us0)[:4], rtol=1e-4
+    )
